@@ -1,0 +1,211 @@
+"""Fingerprint database: directory format + device-resident query engine.
+
+Parity target: reference database.py:74-195 and the DB directory contract
+(builder.py:133-148, readme.md:123-184):
+
+    <db>/embeddings    raw float32 [N, d] (same format as the reference)
+    <db>/landmarkKey   int32 per-song segment counts (same)
+    <db>/songList.txt  one path per line (same)
+    <db>/configs.json  the training config snapshot (same)
+    <db>/model.msgpack flax params (replaces the reference's model.pt)
+    <db>/index_meta.json  search settings (replaces the opaque faiss
+                          ``landmarkValue`` binary — the TPU engine is
+                          exact/approx MIPS over ``embeddings`` itself, so
+                          no trained index artifact is needed)
+
+Query semantics follow database.py:111-166: top-k ANN search per query
+row, candidate (song, offset) generation, sequence-alignment rerank,
+per-song best table, global best.  ``frame_shift_mul`` sub-hop striding
+and ``score_alpha`` are supported (database.py:129-134, seqscore.cpp:103).
+
+TPU-native design: the embedding matrix lives in device HBM (bf16 or f32);
+queries are padded to a small set of static bucket lengths so every
+(bucket, top_k) pair compiles exactly once.  A batched entry point
+amortizes HBM reads of the DB matrix across many queries — the headline
+throughput path (see bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfann_tpu.index.search import finalize_song_scores, search_and_rerank
+from pfann_tpu.utils import read_file_list
+from pfann_tpu.utils.logging import get_logger
+
+INDEX_META_NAME = "index_meta.json"
+MODEL_FILE_NAME = "model.msgpack"
+
+_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
+
+
+def write_index_meta(dir_for_db: str, d: int, meta: dict[str, Any] | None = None):
+    out = {"version": 1, "metric": "inner_product", "d": d}
+    if meta:
+        out.update(meta)
+    with open(os.path.join(dir_for_db, INDEX_META_NAME), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+class Database:
+    """Loads a DB directory and answers queries on device.
+
+    Mirrors reference Database.__init__ (database.py:74-109): songList +
+    landmarkKey -> cumulative song_pos; the embedding matrix replaces the
+    faiss index.
+    """
+
+    def __init__(
+        self,
+        dir_for_db: str,
+        indexer_params: dict[str, Any],
+        hop_size: float,
+        device=None,
+    ):
+        self.dir_for_db = dir_for_db
+        self.params = indexer_params
+        self.top_k = int(self.params["top_k"])
+        self.frame_shift_mul = int(self.params.get("frame_shift_mul", 1))
+        self.score_alpha = float(self.params.get("score_alpha", 0))
+        self.hop_size = hop_size
+
+        self.songList = read_file_list(os.path.join(dir_for_db, "songList.txt"))
+        counts = np.fromfile(
+            os.path.join(dir_for_db, "landmarkKey"), dtype=np.int32
+        )
+        assert len(self.songList) == counts.shape[0]  # database.py:85
+        self.song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
+
+        meta_path = os.path.join(dir_for_db, INDEX_META_NAME)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            d = int(meta["d"])
+        else:
+            d = int(self.params.get("d", 128))
+        emb = np.fromfile(
+            os.path.join(dir_for_db, "embeddings"), dtype=np.float32
+        ).reshape([-1, d])
+        assert emb.shape[0] == self.song_pos[-1], (emb.shape, self.song_pos[-1])
+        self.d = d
+        self.ntotal = emb.shape[0]
+
+        # search backend: 'exact' | 'approx' | 'auto' (approx on TPU)
+        backend = self.params.get("backend", "auto")
+        if backend == "auto":
+            backend = "approx" if jax.default_backend() == "tpu" else "exact"
+        self.backend = backend
+
+        dtype = self.params.get("db_dtype", "bfloat16")
+        self._db = jax.device_put(
+            jnp.asarray(emb, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32),
+            device,
+        )
+        self._song_pos = jax.device_put(jnp.asarray(self.song_pos, jnp.int32), device)
+        get_logger().info("score alpha: %d", self.score_alpha)
+
+    # ------------------------------------------------------------------
+    def query_embeddings(
+        self, query: np.ndarray
+    ) -> tuple[float, tuple[int, float], np.ndarray]:
+        """One query: [S, d] float32 (rows at hop/frame_shift_mul stride).
+
+        Returns (best_score, (song_id, time_seconds), song_score[n_songs, 2])
+        — the exact contract of database.py:111-115.
+        """
+        if self.ntotal == 0 or query.shape[0] == 0:
+            return -float("inf"), (-1, 0.0), np.zeros(
+                [len(self.songList), 2], dtype=np.float32
+            )
+        song_max, song_time = self._query_device(query)
+        return finalize_song_scores(
+            np.asarray(song_max),
+            np.asarray(song_time),
+            self.hop_size,
+            self.frame_shift_mul,
+        )
+
+    def query_embeddings_batch(
+        self, queries: Sequence[np.ndarray]
+    ) -> list[tuple[float, tuple[int, float], np.ndarray]]:
+        """Batched throughput path: many queries scored in one device
+        program (vmapped), amortizing DB HBM reads across the batch."""
+        if not queries:
+            return []
+        S = _bucket(max(q.shape[0] for q in queries))
+        B = len(queries)
+        qpad = np.zeros((B, S, self.d), dtype=np.float32)
+        valid = np.zeros((B, S), dtype=bool)
+        for i, q in enumerate(queries):
+            qpad[i, : q.shape[0]] = q
+            valid[i, : q.shape[0]] = True
+        song_max, song_time = self._batch_query_fn(S)(
+            self._db, self._song_pos, jnp.asarray(qpad), jnp.asarray(valid)
+        )
+        song_max = np.asarray(song_max)
+        song_time = np.asarray(song_time)
+        return [
+            finalize_song_scores(
+                song_max[i], song_time[i], self.hop_size, self.frame_shift_mul
+            )
+            for i in range(B)
+        ]
+
+    # ------------------------------------------------------------------
+    def _query_device(self, query: np.ndarray):
+        S = _bucket(query.shape[0])
+        qpad = np.zeros((S, self.d), dtype=np.float32)
+        qpad[: query.shape[0]] = query
+        valid = np.zeros((S,), dtype=bool)
+        valid[: query.shape[0]] = True
+        return search_and_rerank(
+            self._db,
+            self._song_pos,
+            jnp.asarray(qpad),
+            jnp.asarray(valid),
+            top_k=self.top_k,
+            n_songs=len(self.songList),
+            frame_shift_mul=self.frame_shift_mul,
+            score_alpha=self.score_alpha,
+            backend=self.backend,
+        )
+
+    def _batch_query_fn(self, S: int):
+        if not hasattr(self, "_batch_cache"):
+            self._batch_cache = {}
+        if S not in self._batch_cache:
+            n_songs = len(self.songList)
+            top_k, fsm = self.top_k, self.frame_shift_mul
+            alpha, backend = self.score_alpha, self.backend
+
+            @jax.jit
+            def fn(db, song_pos, qpad, valid):
+                return jax.vmap(
+                    lambda q, v: search_and_rerank(
+                        db,
+                        song_pos,
+                        q,
+                        v,
+                        top_k=top_k,
+                        n_songs=n_songs,
+                        frame_shift_mul=fsm,
+                        score_alpha=alpha,
+                        backend=backend,
+                    )
+                )(qpad, valid)
+
+            self._batch_cache[S] = fn
+        return self._batch_cache[S]

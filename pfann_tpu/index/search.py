@@ -1,0 +1,213 @@
+"""TPU-native retrieval kernels: brute-force/approx MIPS top-k + sequence
+rerank.
+
+This replaces the reference's two native retrieval components:
+  * faiss ``IVF200,PQ64x8np`` search (builder.py:114, database.py:121) —
+    here a device-resident matmul + top-k over the full embedding matrix.
+    Exact search makes recall >= IVF-PQ by construction;
+    ``jax.lax.approx_max_k`` is the TPU-native fast path (it uses the
+    hardware-friendly partial-reduction TopK; recall_target is
+    configurable and still far above nprobe=50 IVF-PQ recall).
+  * cpp/seqscore.cpp:32-136 (OpenMP sequence-alignment rerank) — here a
+    fully vectorized gather + batched dot + segment-max.  The candidate
+    set in the reference is data-dependent and deduplicated; XLA needs
+    static shapes, so we score *all* (row, hit) pairs (S x top_k
+    candidates) without dedup — duplicates recompute the same score and
+    cannot change a max, so results are identical.
+
+Both kernels are shape-static and jit/shard_map-friendly.  Multi-chip DB
+sharding wraps these in pfann_tpu/parallel/sharded_search.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mips_topk(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    backend: str = "exact",
+    recall_target: float = 0.99,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Maximum-inner-product top-k.
+
+    db: [N, d] (f32 or bf16), queries: [S, d] f32.
+    Returns (scores [S, k] f32, labels [S, k] int32).
+
+    Equivalent of faiss ``index.search(query, top_k)`` with
+    METRIC_INNER_PRODUCT (database.py:121).
+    """
+    scores = jnp.matmul(
+        queries.astype(db.dtype), db.T, preferred_element_type=jnp.float32
+    )  # [S, N]
+    if backend == "approx":
+        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    else:
+        vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
+def seq_rerank(
+    db: jnp.ndarray,
+    song_pos: jnp.ndarray,
+    queries: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid_rows: jnp.ndarray,
+    n_songs: int,
+    frame_shift_mul: int = 1,
+    score_alpha: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequence-alignment rerank over top-k hits.
+
+    Parity target: cpp/seqscore.cpp:32-136 / database.py:117-163.
+
+    Args:
+      db:        [N, d] embedding matrix (the faiss ``reconstruct`` source).
+      song_pos:  [n_songs + 1] int64/int32 cumulative segment offsets
+                 (database.py:86).
+      queries:   [S, d] f32, rows padded with zeros beyond the true query
+                 length (S = padded length, stride = hop / frame_shift_mul).
+      labels:    [S, k] int32 top-k hit ids per query row (-1 = no hit).
+      valid_rows:[S] bool, False for padding rows.
+      n_songs:   static number of songs.
+      frame_shift_mul: sub-hop query striding (database.py:129-134).
+      score_alpha: 0 => mean inner product; >0 => mean
+                 exp(-alpha * (1 - ip)^2) ("query adaptive similarity",
+                 seqscore.cpp:103-110).
+
+    Returns:
+      song_max:  [n_songs] f32 — max alignment score per song over all
+                 candidates (not clamped; caller applies the reference's
+                 0-floor for the song_score table).
+      song_time: [n_songs] f32 — alignment offset (in sub-hop units,
+                 t * fsm - shift, as seqscore.cpp:114) at that max.
+    """
+    S, k = labels.shape
+    d = db.shape[-1]
+    fsm = frame_shift_mul
+    sub_len = -(-S // fsm)  # ceil: max subquery rows per shift
+
+    # --- candidate generation (seqscore.cpp:49-57) ----------------------
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, k), 0)
+    flat_lab = labels.reshape(-1)                      # [C], C = S*k
+    flat_row = rows.reshape(-1)
+    cand_tim = flat_row // fsm                          # tim = t / fsm
+    cand_shift = flat_row % fsm
+    lab_ok = (flat_lab >= 0) & valid_rows[flat_row]
+
+    song_pos = song_pos.astype(jnp.int32)
+    safe_lab = jnp.where(lab_ok, flat_lab, 0)
+    cand_song = (
+        jnp.searchsorted(song_pos, safe_lab, side="right").astype(jnp.int32) - 1
+    )
+    cand_t = safe_lab - song_pos[cand_song] - cand_tim  # [C]
+    song_start = song_pos[cand_song]
+    song_len = song_pos[cand_song + 1] - song_start
+
+    # --- window gather + batched dot (seqscore.cpp:87-112) --------------
+    # For candidate c with shift s: window rows j in [0, sub_len), db index
+    # song_start + t + j, query row j*fsm + s.
+    j = jax.lax.broadcasted_iota(jnp.int32, (flat_lab.shape[0], sub_len), 1)
+    qrow = j * fsm + cand_shift[:, None]                     # [C, J]
+    in_query = qrow < S
+    in_song = (cand_t[:, None] + j >= 0) & (cand_t[:, None] + j < song_len[:, None])
+    w_ok = in_query & in_song
+    db_idx = jnp.clip(song_start[:, None] + cand_t[:, None] + j, 0, db.shape[0] - 1)
+
+    windows = db[db_idx].astype(jnp.float32)                 # [C, J, d]
+    qgather = queries[jnp.clip(qrow, 0, S - 1)]              # [C, J, d]
+    ip = jnp.einsum(
+        "cjd,cjd->cj", windows, qgather, preferred_element_type=jnp.float32
+    )
+    if score_alpha > 0.0:
+        l2 = 1.0 - ip
+        contrib = jnp.exp(-score_alpha * l2 * l2)
+    else:
+        contrib = ip
+    contrib = jnp.where(w_ok, contrib, 0.0)
+
+    # per-shift subquery length: ceil((S_true - shift) / fsm); padded query
+    # rows are invalid (valid_rows False), so S_true = sum(valid_rows)
+    s_true = jnp.sum(valid_rows.astype(jnp.int32))
+    my_len = (s_true - cand_shift + fsm - 1) // fsm
+    sco = jnp.sum(contrib, axis=1) / jnp.maximum(my_len, 1).astype(jnp.float32)
+    sco = jnp.where(lab_ok, sco, -jnp.inf)
+
+    # --- per-song max + offset (seqscore.cpp:126-133) --------------------
+    cand_time = (cand_t * fsm - cand_shift).astype(jnp.float32)
+    seg_ids = jnp.where(lab_ok, cand_song, n_songs)  # invalid -> overflow bin
+    song_max = jax.ops.segment_max(
+        sco, seg_ids, num_segments=n_songs + 1, indices_are_sorted=False
+    )[:n_songs]
+    # argmax via a second segment_max over candidate indices at the max
+    cand_idx = jax.lax.broadcasted_iota(jnp.int32, sco.shape, 0)
+    is_best = sco == song_max[jnp.clip(cand_song, 0, n_songs - 1)]
+    best_idx = jax.ops.segment_max(
+        jnp.where(is_best & lab_ok, cand_idx, -1),
+        seg_ids,
+        num_segments=n_songs + 1,
+    )[:n_songs]
+    song_time = jnp.where(best_idx >= 0, cand_time[jnp.maximum(best_idx, 0)], 0.0)
+    song_max = jnp.where(jnp.isfinite(song_max), song_max, -jnp.inf)
+    return song_max, song_time
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "n_songs", "frame_shift_mul", "backend", "score_alpha"),
+)
+def search_and_rerank(
+    db: jnp.ndarray,
+    song_pos: jnp.ndarray,
+    queries: jnp.ndarray,
+    valid_rows: jnp.ndarray,
+    *,
+    top_k: int,
+    n_songs: int,
+    frame_shift_mul: int = 1,
+    score_alpha: float = 0.0,
+    backend: str = "exact",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device fused query: MIPS top-k + sequence rerank.
+
+    Returns (song_max [n_songs], song_time [n_songs]) — see seq_rerank.
+    """
+    _, labels = mips_topk(db, queries, top_k, backend=backend)
+    labels = jnp.where(valid_rows[:, None], labels, -1)
+    return seq_rerank(
+        db,
+        song_pos,
+        queries,
+        labels,
+        valid_rows,
+        n_songs,
+        frame_shift_mul=frame_shift_mul,
+        score_alpha=score_alpha,
+    )
+
+
+def finalize_song_scores(
+    song_max: np.ndarray, song_time: np.ndarray, hop_size: float, frame_shift_mul: int
+) -> tuple[float, tuple[int, float], np.ndarray]:
+    """Host-side epilogue reproducing the reference result contract
+    (database.py:117-166): returns (best_score, (best_song, best_time_s),
+    song_score [n_songs, 2]) where song_score keeps the 0-floor init and
+    times are in seconds."""
+    scale = hop_size / frame_shift_mul
+    song_score = np.zeros([song_max.shape[0], 2], dtype=np.float32)
+    pos = song_max > 0  # reference table only records strict improvements over 0
+    song_score[pos, 0] = song_max[pos]
+    song_score[pos, 1] = song_time[pos] * scale
+    if song_max.size == 0 or not np.isfinite(song_max).any():
+        return -float("inf"), (-1, 0.0), song_score
+    best_song = int(np.argmax(song_max))
+    best = float(song_max[best_song])
+    best_time = float(song_time[best_song] * scale)
+    return best, (best_song, best_time), song_score
