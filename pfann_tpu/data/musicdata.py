@@ -1,0 +1,98 @@
+"""Inference-time music dataset: file -> overlapping query/DB segments.
+
+Parity target: reference datautil/musicdata.py:12-104 —
+  * decode + resample to the model rate (julius replaced by the scipy
+    polyphase resampler; whole-file instead of 60 s streamed chunks —
+    song-length audio at 8 kHz mono is tiny on a host)
+  * fake-stereo (opposite-phase) detection before the mono mixdown
+    (musicdata.py:74-80)
+  * pad short files to one segment
+  * unfold into overlapping segments with hop = hop_size /
+    frame_shift_mul, then de-mean per segment (musicdata.py:82-88)
+  * per-file exceptions yield an empty [0, segment] array so one broken
+    file cannot kill a batch run (musicdata.py:95-101)
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+from typing import Any, Iterator
+
+import numpy as np
+
+from pfann_tpu.audio.io import get_audio
+from pfann_tpu.audio.resample import resample
+from pfann_tpu.utils import read_file_list
+from pfann_tpu.utils.logging import get_logger
+
+
+def unfold(wav: np.ndarray, size: int, hop: int) -> np.ndarray:
+    """Sliding windows [n, size] (torch.unfold semantics: only complete
+    windows)."""
+    n = (wav.shape[-1] - size) // hop + 1
+    if n <= 0:
+        return np.zeros((0, size), dtype=wav.dtype)
+    idx = np.arange(n)[:, None] * hop + np.arange(size)[None, :]
+    return wav[idx]
+
+
+class MusicDataset:
+    def __init__(self, file_list: str, params: dict[str, Any]):
+        self.params = params
+        self.sample_rate = params["sample_rate"]
+        self.segment_size = int(self.sample_rate * params["segment_size"])
+        self.hop_size = int(self.sample_rate * params["hop_size"])
+        self.frame_shift_mul = params["indexer"].get("frame_shift_mul", 1)
+        self.files = read_file_list(file_list)
+
+    def load(self, index: int) -> tuple[int, str, np.ndarray]:
+        try:
+            return self._unsafe_load(index)
+        except Exception as x:
+            get_logger().exception(x)
+            return index, self.files[index], np.zeros(
+                (0, self.segment_size), dtype=np.float32
+            )
+
+    def _unsafe_load(self, index: int) -> tuple[int, str, np.ndarray]:
+        logger = get_logger()
+        logger.info("MusicDataset getitem %s", self.files[index])
+        wav, smprate = get_audio(self.files[index])
+        wav = resample(wav, smprate, self.sample_rate)
+
+        # fake stereo with opposite phase (musicdata.py:74-80)
+        if wav.shape[0] == 2:
+            pow1 = float(np.mean((wav[0] - wav[1]) ** 2))
+            pow2 = float(np.mean((wav[0] + wav[1]) ** 2))
+            if pow1 > pow2 * 1000:
+                logger.warning(
+                    "fake stereo with opposite phase detected: %s", self.files[index]
+                )
+                wav[1] *= -1
+        wav = wav.mean(axis=0)
+
+        if wav.shape[0] < self.segment_size:
+            wav = np.pad(wav, (0, self.segment_size - wav.shape[0]))
+
+        segments = unfold(
+            wav, self.segment_size, self.hop_size // self.frame_shift_mul
+        )
+        segments = segments - segments.mean(axis=1, keepdims=True)
+        return index, self.files[index], segments.astype(np.float32)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __iter__(self) -> Iterator[tuple[int, str, np.ndarray]]:
+        return self.iterate()
+
+    def iterate(self, num_workers: int = 0):
+        """Sequential or thread-prefetched iteration (the reference uses
+        DataLoader worker processes; decode here is subprocess/C-bound so
+        threads suffice)."""
+        if num_workers <= 0:
+            for i in range(len(self)):
+                yield self.load(i)
+        else:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+                yield from ex.map(self.load, range(len(self)))

@@ -1,0 +1,63 @@
+"""Waveform -> fingerprint embedding pipeline for builder/matcher.
+
+Fuses the mel front-end and the encoder into one jitted program (the
+reference runs torchaudio mel then the torch model per 16/32-row chunk,
+builder.py:88-100 / matcher.py:110-128).  Chunks are padded to a fixed
+size so every call reuses one compiled executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfann_tpu.models.fp_network import build_fp_network
+from pfann_tpu.ops.melspec import build_mel_spec_layer
+from pfann_tpu.utils import checkpoint as ckpt
+
+
+class Embedder:
+    def __init__(
+        self,
+        params: dict[str, Any],
+        model_path: str,
+        compute_dtype=jnp.bfloat16,
+        chunk: int = 512,
+    ):
+        self.model = build_fp_network(params, compute_dtype=compute_dtype)
+        self.mel = build_mel_spec_layer(params)
+        self.chunk = chunk
+        self.d = self.model.d
+        self.segment_size = int(params["segment_size"] * params["sample_rate"])
+        target = self.model.init(
+            jax.random.key(0), jnp.zeros((1, self.model.F, self.model.T))
+        )
+        self.variables = ckpt.load_model(model_path, target)
+        mel, model = self.mel, self.model
+
+        @jax.jit
+        def _embed(variables, wav):
+            return model.apply(variables, mel(wav), norm=True)
+
+        self._embed = _embed
+
+    def embed(self, wav: np.ndarray) -> np.ndarray:
+        """wav: [S, segment_size] float32 -> [S, d] float32 L2-normalized."""
+        S = wav.shape[0]
+        if S == 0:
+            return np.zeros((0, self.d), dtype=np.float32)
+        outs = []
+        for i in range(0, S, self.chunk):
+            part = wav[i : i + self.chunk]
+            n = part.shape[0]
+            if n < self.chunk:
+                part = np.concatenate(
+                    [part, np.zeros((self.chunk - n, wav.shape[1]), wav.dtype)]
+                )
+            y = self._embed(self.variables, jnp.asarray(part))
+            outs.append(np.asarray(y)[:n])
+        return np.concatenate(outs)

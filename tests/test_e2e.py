@@ -1,0 +1,243 @@
+"""End-to-end pipeline test: train-init -> build DB from synthetic WAVs ->
+match noisy cropped queries -> accuracy (the full CLI contract, exercised
+through the same code paths as builder.py / matcher.py)."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pfann_tpu.audio.io import get_audio, write_wav
+from pfann_tpu.audio.resample import resample
+from pfann_tpu.data.musicdata import MusicDataset, unfold
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_CFG = {
+    "model_dir": None,
+    "cache_dir": None,
+    "batch_size": 8,
+    "sample_rate": 8000,
+    "stft_n": 1024,
+    "stft_hop": 256,
+    "n_mels": 256,
+    "f_min": 300,
+    "f_max": 4000,
+    "segment_size": 1,
+    "hop_size": 0.5,
+    "time_offset": 1.2,
+    "pad_start": 0,
+    "epoch": 1,
+    "lr": 1e-4,
+    "tau": 0.05,
+    "cutout_min": 0.1,
+    "cutout_max": 0.5,
+    "model": {"d": 16, "h": 64, "u": 8, "fuller": True},
+    "indexer": {"top_k": 10, "frame_shift_mul": 1, "backend": "exact"},
+}
+
+
+def make_song(rng, n_sec, sr=8000):
+    """Synthetic 'music': a random note sequence (non-stationary, so every
+    1 s window is distinct — stationary sinusoid mixes make neighboring
+    windows near-identical and retrieval time offsets ill-defined)."""
+    note_len = sr // 4
+    x = np.zeros(n_sec * sr, dtype=np.float64)
+    t_note = np.arange(note_len) / sr
+    env = np.minimum(np.arange(note_len), np.arange(note_len)[::-1]) / (note_len / 8)
+    env = np.minimum(env, 1.0)
+    for k in range(n_sec * 4):
+        for _ in range(3):  # chord of 3 random partials per note
+            f = rng.uniform(150, 3400)
+            x[k * note_len : (k + 1) * note_len] += (
+                rng.uniform(0.3, 1.0)
+                * env
+                * np.sin(2 * np.pi * f * t_note + rng.uniform(0, 2 * np.pi))
+            )
+    x /= np.max(np.abs(x)) * 1.2
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(7)
+    songs = []
+    for i in range(5):
+        wav = make_song(rng, n_sec=8)
+        path = str(root / f"song{i}.wav")
+        write_wav(path, wav, 8000)
+        songs.append((path, wav))
+    return songs
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    wav = (rng.random(16000, dtype=np.float32) - 0.5) * 0.9
+    path = str(tmp_path / "t.wav")
+    write_wav(path, wav, 8000)
+    back, rate = get_audio(path)
+    assert rate == 8000 and back.shape == (1, 16000)
+    np.testing.assert_allclose(back[0], wav, atol=1 / 32768)
+
+
+def test_resample_preserves_tone():
+    sr1, sr2 = 44100, 8000
+    t = np.arange(sr1) / sr1
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample(x, sr1, sr2)
+    assert abs(y.shape[0] - sr2) <= 2
+    spec = np.abs(np.fft.rfft(y[: sr2 // 1]))
+    assert abs(np.argmax(spec) - 440) <= 2
+
+
+def test_musicdata_segmentation(corpus, tmp_path):
+    lst = str(tmp_path / "list.txt")
+    with open(lst, "w") as f:
+        f.write(corpus[0][0] + "\n")
+    ds = MusicDataset(lst, TINY_CFG)
+    i, name, segs = ds.load(0)
+    # 8 s at seg 1 s hop 0.5 s -> 15 segments
+    assert segs.shape == (15, 8000)
+    np.testing.assert_allclose(segs.mean(axis=1), 0, atol=1e-6)
+    # broken file -> empty, not an exception
+    with open(str(tmp_path / "bad.wav"), "wb") as f:
+        f.write(b"RIFFgarbage")
+    with open(lst, "w") as f:
+        f.write(str(tmp_path / "bad.wav") + "\n")
+    ds2 = MusicDataset(lst, TINY_CFG)
+    _, _, segs2 = ds2.load(0)
+    assert segs2.shape == (0, 8000)
+
+
+@pytest.fixture(scope="module")
+def db_and_model(corpus, tmp_path_factory):
+    """Init a random model, export it, build a DB over the corpus via the
+    builder CLI."""
+    import jax, jax.numpy as jnp
+    from pfann_tpu.models.fp_network import build_fp_network
+    from pfann_tpu.utils import checkpoint as ckpt
+    from pfann_tpu.utils.config import write_config
+
+    root = tmp_path_factory.mktemp("dbroot")
+    model_dir = str(root / "model")
+    os.makedirs(model_dir)
+    cfg = dict(TINY_CFG, model_dir=model_dir, cache_dir=str(root / "caches"))
+    cfg_path = os.path.join(model_dir, "configs.json")
+    write_config(cfg, cfg_path)
+
+    model = build_fp_network(cfg, compute_dtype=jnp.float32)
+    variables = model.init(jax.random.key(5), jnp.zeros((1, 256, 32)))
+
+    # A random-init model maps everything to nearly the same embedding
+    # (cosine ~0.99 across songs) so retrieval margins sit inside f32
+    # noise.  Train briefly on corpus segments (org vs +noise) to make it
+    # discriminative — the real train->build->match flow in miniature.
+    import optax
+    from pfann_tpu.ops.melspec import build_mel_spec_layer
+    from pfann_tpu.train.loss import similarity_loss
+
+    mel = build_mel_spec_layer(cfg)
+    segs = np.concatenate([unfold(wav, 8000, 4000) for _, wav in corpus])
+    segs = segs - segs.mean(axis=1, keepdims=True)
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(v, o, x):
+        def loss_fn(vv):
+            return similarity_loss(model.apply(vv, mel(x)), 0.05)
+
+        loss, g = jax.value_and_grad(loss_fn)(v)
+        up, o = tx.update(g, o, v)
+        return optax.apply_updates(v, up), o, loss
+
+    rng = np.random.default_rng(0)
+    for it in range(100):
+        idx = rng.choice(segs.shape[0], 24, replace=False)
+        org = segs[idx]
+        aug = org + 0.1 * rng.standard_normal(org.shape).astype(np.float32)
+        batch = np.stack([org, aug], axis=1).reshape(-1, 8000)
+        variables, opt_state, _ = step(variables, opt_state, jnp.asarray(batch))
+    ckpt.save_model(os.path.join(model_dir, "model.msgpack"), variables)
+
+    lst = str(root / "db_list.txt")
+    with open(lst, "w") as f:
+        f.writelines(p + "\n" for p, _ in corpus)
+    db_dir = str(root / "db")
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "builder.py"), lst, db_dir, cfg_path],
+        check=True,
+        env=env,
+        cwd=REPO,
+    )
+    return cfg, db_dir
+
+
+def test_builder_db_layout(db_and_model, corpus):
+    cfg, db_dir = db_and_model
+    for name in ("embeddings", "landmarkKey", "songList.txt", "configs.json",
+                 "model.msgpack", "index_meta.json"):
+        assert os.path.exists(os.path.join(db_dir, name)), name
+    counts = np.fromfile(os.path.join(db_dir, "landmarkKey"), dtype=np.int32)
+    assert counts.tolist() == [15] * 5
+    emb = np.fromfile(os.path.join(db_dir, "embeddings"), dtype=np.float32)
+    assert emb.size == 75 * 16
+    norms = np.linalg.norm(emb.reshape(-1, 16), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_matcher_end_to_end(db_and_model, corpus, tmp_path):
+    cfg, db_dir = db_and_model
+    rng = np.random.default_rng(11)
+    queries, expected = [], []
+    for qi in range(6):
+        song_id = int(rng.integers(0, len(corpus)))
+        path, wav = corpus[song_id]
+        # hop-grid-aligned exact crop: with a random-init (untrained) model
+        # only bit-identical segments retrieve reliably — this verifies the
+        # pipeline and time alignment; noise robustness is the trained
+        # model's job (covered by accuracy evals, not unit tests)
+        start = int(rng.integers(0, len(wav) - 3 * 8000) // 4000 * 4000)
+        q = wav[start : start + 3 * 8000].copy()
+        qpath = str(tmp_path / f"q{qi}.wav")
+        write_wav(qpath, q, 8000)
+        queries.append(qpath)
+        expected.append((qpath, path, start / 8000))
+
+    qlist = str(tmp_path / "qlist.txt")
+    with open(qlist, "w") as f:
+        f.writelines(q + "\n" for q in queries)
+    with open(str(tmp_path / "expected.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query", "answer", "time"])
+        w.writerows(expected)
+
+    result = str(tmp_path / "result.txt")
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "matcher.py"), qlist, db_dir, result],
+        check=True,
+        env=env,
+        cwd=REPO,
+    )
+
+    # outputs exist and have the right shapes
+    assert os.path.exists(result)
+    detail = str(tmp_path / "result_detail.csv")
+    score_bin = np.fromfile(result + ".bin", dtype=np.float32)
+    assert score_bin.size == 6 * 5 * 2
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from accuracy import evaluate
+
+    r = evaluate(str(tmp_path / "expected.csv"), detail)
+    # random-init model on clean-ish queries over a 5-song DB: fingerprints
+    # of identical audio still match exactly
+    assert r["total"] == 6
+    assert r["song_acc"] == 100.0
+    assert r["exact_acc"] == 100.0

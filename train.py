@@ -7,6 +7,10 @@ CLI parity with reference train.py:264-278:
 
 import argparse
 
+from pfann_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
 from pfann_tpu.data.mock import MockedDataLoader
 from pfann_tpu.train.trainer import Trainer
 from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config
