@@ -1,0 +1,179 @@
+"""Exhaustive-alignment retrieval engine (TPU-native redesign).
+
+The reference pipeline is: per-segment ANN top-k (faiss IVF-PQ,
+database.py:121) -> candidate (song, offset) pairs -> sequence-alignment
+rerank over candidates (database.py:142-163 / seqscore.cpp:87-112).  Both
+stages approximate one quantity: the best mean-inner-product alignment of
+the query against every possible offset of every song — exactly what the
+reference's *oracle* computes for the true song (matchfromgt.py:127-147).
+
+On a TPU the approximation is unnecessary: scoring EVERY offset is one
+big matmul plus a diagonal reduction,
+
+    align[j, b] = sum_i  db[j + i] . q_b[i]
+
+i.e. a 1-D convolution of the DB sequence with the query as filter.
+Recall is 100% by construction (vs IVF-PQ nprobe=50), and search + rerank
+collapse into one fused device program.
+
+Layout: every song occupies a fixed-size region of R = PAD + Lmax rows —
+PAD leading zeros, the song's embeddings, zero slack.  Consequences:
+  * window overhang at song boundaries contributes exactly zero (the
+    reference's out-of-range convention, database.py:151-155), and
+    negative offsets down to -PAD are scored;
+  * the per-song maximum is a dense [n_songs, R, B] reshape + reduce —
+    no scatter (TPU scatters serialize; an early segment_max version of
+    this engine was 30x slower than the matmul it followed).
+
+Complexity: N * S * d MACs per query — what the reference's rerank would
+cost if its candidate set covered all offsets; on the MXU with a batch of
+queries this is cheap (~6 GFLOP per 10 s query against a 10k-track DB).
+The streaming cost is the [N, S*B] bf16 score tensor.
+
+The ``score_alpha > 0`` scoring variant (exp(-alpha (1-ip)^2),
+seqscore.cpp:103-110) is nonlinear in the inner product and cannot use
+the convolution trick — Database falls back to the top-k + rerank engine
+for it.  Same for queries longer than PAD windows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_PAD = 32  # supports query windows up to 32 segments (> 10 s default)
+
+
+def build_uniform_layout(
+    embeddings: np.ndarray, counts: np.ndarray, pad: int = DEFAULT_PAD
+) -> tuple[np.ndarray, int]:
+    """Re-pack the flat embedding matrix into uniform per-song regions of
+    R = pad + max(counts) rows: [pad zeros | song rows | slack zeros].
+
+    Returns (db_padded [n_songs * R + pad, d], R).  The trailing pad keeps
+    the last song's overhanging windows in-bounds.
+    """
+    n_songs = len(counts)
+    d = embeddings.shape[1] if embeddings.size else 0
+    lmax = int(counts.max()) if n_songs else 0
+    R = pad + lmax
+    db = np.zeros((n_songs * R + pad, d), dtype=np.float32)
+    song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
+    for s in range(n_songs):
+        c = int(counts[s])
+        db[s * R + pad : s * R + pad + c] = embeddings[song_pos[s] : song_pos[s] + c]
+    return db, R
+
+
+@functools.partial(jax.jit, static_argnames=("R", "S", "score_dtype"))
+def _alignment_search_uniform(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    *,
+    R: int,
+    S: int,
+    score_dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """db [n_songs*R + pad, d]; queries [B, S, d].
+
+    Returns (song_best [B, n_songs] f32 — summed alignment score,
+    song_argoff [B, n_songs] int32 — best window offset within the region,
+    i.e. t + pad).
+    """
+    N, d = db.shape
+    B = queries.shape[0]
+    n_songs = (N - 1) // R  # N = n_songs * R + pad, 0 < pad < R
+
+    qsT = jnp.transpose(queries, (2, 1, 0)).reshape(d, S * B)
+    scores = jnp.matmul(
+        db.astype(score_dtype), qsT.astype(score_dtype),
+        preferred_element_type=score_dtype,
+    ).reshape(N, S, B)
+
+    N0 = n_songs * R
+    align = scores[0:N0, 0, :].astype(jnp.float32)
+    for i in range(1, S):
+        align = align + scores[i : N0 + i, i, :].astype(jnp.float32)
+
+    align = align.reshape(n_songs, R, B)
+    song_best = jnp.max(align, axis=1)            # [n_songs, B]
+    song_argoff = jnp.argmax(align, axis=1)       # [n_songs, B]
+    return jnp.transpose(song_best), jnp.transpose(song_argoff).astype(jnp.int32)
+
+
+class AlignmentEngine:
+    """Host wrapper: uniform padded layout + per-shift filter construction
+    + time mapping.  One instance per loaded database (single device)."""
+
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        counts: np.ndarray,
+        pad: int = DEFAULT_PAD,
+        score_dtype=jnp.bfloat16,
+        device=None,
+        max_batch_rows: int = 16,
+    ):
+        db, R = build_uniform_layout(embeddings, counts, pad)
+        self.pad = pad
+        self.R = R
+        self.n_songs = len(counts)
+        self.d = db.shape[1]
+        self.score_dtype = score_dtype
+        self.max_batch = max_batch_rows
+        self._db = jax.device_put(jnp.asarray(db, dtype=score_dtype), device)
+
+    def max_query_windows(self) -> int:
+        return self.pad  # longer filters could cross into the next region
+
+    def search(
+        self, filters: np.ndarray, sub_lens: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """filters [B, S, d] (zero rows beyond sub_lens[b]); returns
+        (song_score [B, n_songs] — mean alignment, song_t [B, n_songs] —
+        offset in DB-hop units relative to song start)."""
+        B, S, _ = filters.shape
+        outs_best, outs_off = [], []
+        for i in range(0, B, self.max_batch):
+            chunk = filters[i : i + self.max_batch]
+            n = chunk.shape[0]
+            if n < self.max_batch:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((self.max_batch - n, S, self.d), np.float32)]
+                )
+            best, argoff = _alignment_search_uniform(
+                self._db,
+                jnp.asarray(chunk),
+                R=self.R,
+                S=S,
+                score_dtype=self.score_dtype,
+            )
+            outs_best.append(np.asarray(best)[:n])
+            outs_off.append(np.asarray(argoff)[:n])
+        song_best = np.concatenate(outs_best)
+        song_off = np.concatenate(outs_off)
+        song_score = (song_best / np.maximum(sub_lens, 1)[:, None]).astype(np.float32)
+        song_t = (song_off - self.pad).astype(np.float32)
+        return song_score, song_t
+
+
+def queries_to_filters(
+    query: np.ndarray, frame_shift_mul: int, max_windows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split one query [S_rows, d] (rows at hop/frame_shift_mul stride)
+    into per-shift filters (database.py:129-134 semantics).
+
+    Returns (filters [fsm, S_max, d], sub_lens [fsm], shifts [fsm])."""
+    fsm = frame_shift_mul
+    subs = [query[s::fsm] for s in range(fsm)]
+    S_max = min(max(len(s) for s in subs), max_windows)
+    filters = np.zeros((fsm, S_max, query.shape[1]), dtype=np.float32)
+    sub_lens = np.zeros(fsm, dtype=np.int32)
+    for s, sub in enumerate(subs):
+        n = min(len(sub), S_max)
+        filters[s, :n] = sub[:n]
+        sub_lens[s] = n
+    return filters, sub_lens, np.arange(fsm)

@@ -110,10 +110,22 @@ class Database:
         self.backend = backend
 
         dtype = self.params.get("db_dtype", "bfloat16")
-        self._db = jax.device_put(
-            jnp.asarray(emb, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32),
-            device,
-        )
+        np_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+        # engine: 'align' (exhaustive alignment, the TPU-native default) or
+        # 'topk' (reference-style per-segment top-k + rerank).  score_alpha
+        # scoring is nonlinear -> topk engine only (see index/align.py).
+        engine = self.params.get("engine", "align")
+        if self.score_alpha != 0:
+            engine = "topk"
+        self.engine = engine
+        if engine == "align":
+            from pfann_tpu.index.align import AlignmentEngine
+
+            self._align = AlignmentEngine(
+                emb, counts, score_dtype=np_dtype, device=device
+            )
+        self._db = jax.device_put(jnp.asarray(emb, dtype=np_dtype), device)
         self._song_pos = jax.device_put(jnp.asarray(self.song_pos, jnp.int32), device)
         get_logger().info("score alpha: %d", self.score_alpha)
 
@@ -130,12 +142,50 @@ class Database:
             return -float("inf"), (-1, 0.0), np.zeros(
                 [len(self.songList), 2], dtype=np.float32
             )
-        song_max, song_time = self._query_device(query)
+        if self._use_align(query.shape[0]):
+            song_max, song_time = self._query_align_batch([query])
+            song_max, song_time = song_max[0], song_time[0]
+        else:
+            song_max, song_time = self._query_device(query)
         return finalize_song_scores(
             np.asarray(song_max),
             np.asarray(song_time),
             self.hop_size,
             self.frame_shift_mul,
+        )
+
+    def _use_align(self, n_rows: int) -> bool:
+        if self.engine != "align":
+            return False
+        sub_len = -(-n_rows // self.frame_shift_mul)
+        return sub_len <= self._align.max_query_windows()
+
+    def _query_align_batch(self, queries):
+        """Exhaustive alignment for a batch of queries; returns
+        (song_max [B, n_songs], song_time_subhop [B, n_songs]) in the
+        seqscore time convention (t * fsm - shift, seqscore.cpp:114)."""
+        from pfann_tpu.index.align import queries_to_filters
+
+        fsm = self.frame_shift_mul
+        filters, sub_lens = [], []
+        for q in queries:
+            f, sl, _ = queries_to_filters(q, fsm, self._align.max_query_windows())
+            filters.append(f)
+            sub_lens.append(sl)
+        S_max = max(f.shape[1] for f in filters)
+        allf = np.zeros((len(queries) * fsm, S_max, self.d), np.float32)
+        for i, f in enumerate(filters):
+            allf[i * fsm : (i + 1) * fsm, : f.shape[1]] = f
+        score, t = self._align.search(allf, np.concatenate(sub_lens))
+        score = score.reshape(len(queries), fsm, -1)
+        t = t.reshape(len(queries), fsm, -1)
+        shift = np.arange(fsm)[None, :, None]
+        t_subhop = t * fsm - shift
+        best_shift = np.argmax(score, axis=1)  # [B, n_songs]
+        gi = np.indices(best_shift.shape)
+        return (
+            score[gi[0], best_shift, gi[1]],
+            t_subhop[gi[0], best_shift, gi[1]].astype(np.float32),
         )
 
     def query_embeddings_batch(
@@ -145,6 +195,14 @@ class Database:
         program (vmapped), amortizing DB HBM reads across the batch."""
         if not queries:
             return []
+        if self._use_align(max(q.shape[0] for q in queries)):
+            song_max, song_time = self._query_align_batch(queries)
+            return [
+                finalize_song_scores(
+                    song_max[i], song_time[i], self.hop_size, self.frame_shift_mul
+                )
+                for i in range(len(queries))
+            ]
         S = _bucket(max(q.shape[0] for q in queries))
         B = len(queries)
         qpad = np.zeros((B, S, self.d), dtype=np.float32)

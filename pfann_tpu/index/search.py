@@ -47,6 +47,7 @@ def mips_topk(
     scores = jnp.matmul(
         queries.astype(db.dtype), db.T, preferred_element_type=jnp.float32
     )  # [S, N]
+    k = min(k, db.shape[0])  # shards smaller than top_k return everything
     if backend == "approx":
         vals, idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
     else:

@@ -1,0 +1,166 @@
+"""ICI-sharded fingerprint retrieval.
+
+Scale-out replacement for the single-device engine in
+pfann_tpu/index/search.py: the song set is partitioned into per-chip
+shards (balanced by segment count), each chip runs MIPS top-k + sequence
+rerank over *its own* songs entirely locally, and only the tiny per-song
+(score, time) tables are all_gathered at the end — one collective of
+O(n_songs) floats per query batch, riding ICI.
+
+Semantics vs the reference (database.py:117-163): the reference takes a
+single global top-k; here each shard takes top-k over its slice, so the
+candidate set is a superset of the reference's and per-song scores are
+exact alignment scores either way — retrieval recall can only improve.
+
+Sharding by song (not by raw row) keeps every rerank window local to one
+chip, so there is no cross-chip gather in the hot path at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pfann_tpu.index.search import mips_topk, seq_rerank
+
+
+def partition_songs(counts: np.ndarray, n_shards: int) -> list[list[int]]:
+    """Greedy balanced partition of songs into n_shards by segment count,
+    preserving song order inside a shard (contiguity is irrelevant — each
+    shard re-packs its songs)."""
+    order = np.argsort(-counts, kind="stable")
+    loads = np.zeros(n_shards, dtype=np.int64)
+    groups: list[list[int]] = [[] for _ in range(n_shards)]
+    for song in order:
+        s = int(np.argmin(loads))
+        groups[s].append(int(song))
+        loads[s] += int(counts[song])
+    return [sorted(g) for g in groups]
+
+
+class ShardedDatabase:
+    """Device-mesh resident database.
+
+    Host-side construction re-packs the flat embedding file into per-shard
+    arrays padded to a common size:
+      db_sh       [n_shards, rows_max, d]
+      song_pos_sh [n_shards, songs_max + 1]   (cumsum; zero-length padding
+                                               songs collapse onto the end)
+      song_map    [n_shards, songs_max]       (global song id, -1 = pad)
+    """
+
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        counts: np.ndarray,
+        mesh: Mesh,
+        axis: str = "db",
+        top_k: int = 100,
+        frame_shift_mul: int = 1,
+        score_alpha: float = 0.0,
+        backend: str = "exact",
+        db_dtype=jnp.bfloat16,
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        self.top_k = top_k
+        self.frame_shift_mul = frame_shift_mul
+        self.score_alpha = score_alpha
+        self.backend = backend
+        n_shards = mesh.shape[axis]
+        self.n_shards = n_shards
+        self.n_songs = len(counts)
+        self.d = embeddings.shape[1] if embeddings.size else 128
+
+        song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
+        groups = partition_songs(np.asarray(counts), n_shards)
+        songs_max = max((len(g) for g in groups), default=0)
+        rows_max = max(
+            (int(sum(counts[s] for s in g)) for g in groups), default=1
+        )
+        rows_max = max(rows_max, 8)
+
+        db_sh = np.zeros((n_shards, rows_max, self.d), dtype=np.float32)
+        song_pos_sh = np.zeros((n_shards, songs_max + 1), dtype=np.int32)
+        song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
+        for si, g in enumerate(groups):
+            at = 0
+            for gi, song in enumerate(g):
+                c = int(counts[song])
+                db_sh[si, at : at + c] = embeddings[song_pos[song] : song_pos[song] + c]
+                at += c
+                song_pos_sh[si, gi + 1] = at
+                song_map[si, gi] = song
+            song_pos_sh[si, len(g) + 1 :] = at  # padding songs: zero length
+
+        self.songs_max = songs_max
+        shard = NamedSharding(mesh, P(axis))
+        self._db = jax.device_put(jnp.asarray(db_sh, dtype=db_dtype), shard)
+        self._song_pos = jax.device_put(jnp.asarray(song_pos_sh), shard)
+        self.song_map = song_map  # host-side
+        self._query_cache: dict[tuple[int, int], Any] = {}
+
+    # ------------------------------------------------------------------
+    def _make_query_fn(self, S: int, B: int):
+        axis = self.axis
+        top_k, fsm = self.top_k, self.frame_shift_mul
+        alpha, backend = self.score_alpha, self.backend
+        songs_max = self.songs_max
+
+        def local_query(db, song_pos, qpad, valid):
+            # db [rows_max, d]; song_pos [songs_max+1]; qpad [B, S, d]
+            def one(q, v):
+                _, labels = mips_topk(db, q, top_k, backend=backend)
+                labels = jnp.where(v[:, None], labels, -1)
+                return seq_rerank(
+                    db, song_pos, q, labels, v, songs_max,
+                    frame_shift_mul=fsm, score_alpha=alpha,
+                )
+
+            return jax.vmap(one)(qpad, valid)  # [B, songs_max] x2
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis)),
+        )
+        def sharded(db_sh, song_pos_sh, qpad, valid):
+            smax, stime = local_query(db_sh[0], song_pos_sh[0], qpad, valid)
+            return smax[None], stime[None]
+
+        return jax.jit(sharded)
+
+    def query_batch(
+        self, queries: list[np.ndarray], pad_to: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (song_max [B, n_songs], song_time [B, n_songs]) in
+        *global* song order (padded slots dropped)."""
+        B = len(queries)
+        S = pad_to or max(q.shape[0] for q in queries)
+        qpad = np.zeros((B, S, self.d), dtype=np.float32)
+        valid = np.zeros((B, S), dtype=bool)
+        for i, q in enumerate(queries):
+            qpad[i, : q.shape[0]] = q
+            valid[i, : q.shape[0]] = True
+        key = (S, B)
+        if key not in self._query_cache:
+            self._query_cache[key] = self._make_query_fn(S, B)
+        smax, stime = self._query_cache[key](
+            self._db, self._song_pos, jnp.asarray(qpad), jnp.asarray(valid)
+        )
+        smax = np.asarray(smax)   # [n_shards, B, songs_max]
+        stime = np.asarray(stime)
+        out_max = np.full((B, self.n_songs), -np.inf, dtype=np.float32)
+        out_time = np.zeros((B, self.n_songs), dtype=np.float32)
+        for si in range(self.n_shards):
+            ids = self.song_map[si]
+            real = ids >= 0
+            out_max[:, ids[real]] = smax[si][:, real]
+            out_time[:, ids[real]] = stime[si][:, real]
+        return out_max, out_time

@@ -1,0 +1,153 @@
+"""Exhaustive-alignment engine tests vs naive numpy full alignment
+(the reference oracle semantics, matchfromgt.py:127-147)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pfann_tpu.index.align import (
+    AlignmentEngine,
+    build_uniform_layout,
+    queries_to_filters,
+)
+from pfann_tpu.index.database import Database, write_index_meta
+from pfann_tpu.index.search import finalize_song_scores
+
+
+def make_db(rng, n_songs=7, min_len=5, max_len=40, d=16):
+    counts = rng.integers(min_len, max_len, n_songs)
+    song_pos = np.pad(np.cumsum(counts.astype(np.int64)), (1, 0))
+    db = rng.standard_normal((song_pos[-1], d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    return db, counts, song_pos
+
+
+def naive_full_alignment(db, song_pos, subquery, sub_len):
+    """Best mean-IP alignment per song over ALL offsets t in [-S+1, len)."""
+    n_songs = len(song_pos) - 1
+    S = sub_len
+    best = np.full(n_songs, -np.inf)
+    best_t = np.zeros(n_songs)
+    for song in range(n_songs):
+        start, length = song_pos[song], song_pos[song + 1] - song_pos[song]
+        for t in range(-(S - 1), length):
+            sco = 0.0
+            for i in range(S):
+                if 0 <= t + i < length:
+                    sco += float(db[start + t + i] @ subquery[i])
+            sco /= S
+            if sco > best[song]:
+                best[song] = sco
+                best_t[song] = t
+    return best, best_t
+
+
+def test_padded_layout():
+    rng = np.random.default_rng(0)
+    db, counts, song_pos = make_db(rng, n_songs=3)
+    padded, R = build_uniform_layout(db, counts, pad=8)
+    assert R == 8 + int(counts.max())
+    assert padded.shape[0] == 3 * R + 8
+    # song rows preserved; pads and slack are zero
+    for s in range(3):
+        np.testing.assert_array_equal(
+            padded[s * R + 8 : s * R + 8 + counts[s]],
+            db[song_pos[s] : song_pos[s + 1]],
+        )
+        assert (padded[s * R : s * R + 8] == 0).all()
+        assert (padded[s * R + 8 + counts[s] : (s + 1) * R] == 0).all()
+
+
+@pytest.mark.parametrize("fsm", [1, 2])
+def test_matches_naive_full_alignment(fsm):
+    rng = np.random.default_rng(1)
+    db, counts, song_pos = make_db(rng)
+    engine = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32)
+    qlen = 6 * fsm
+    query = db[song_pos[2] + 3 : song_pos[2] + 3 + qlen].copy()
+    query += 0.05 * rng.standard_normal(query.shape).astype(np.float32)
+
+    filters, sub_lens, _ = queries_to_filters(query, fsm, engine.max_query_windows())
+    score, t = engine.search(filters, sub_lens)
+
+    for shift in range(fsm):
+        ref_best, ref_t = naive_full_alignment(
+            db, song_pos, query[shift::fsm], int(sub_lens[shift])
+        )
+        # uniform regions include all-zero windows past the song end, so
+        # the engine's per-song best is clamped at 0 (matching the
+        # reference song_score table's 0-floor, database.py:125)
+        np.testing.assert_allclose(
+            score[shift], np.maximum(ref_best, 0.0), rtol=1e-4, atol=1e-5
+        )
+        pos = ref_best > 1e-6
+        np.testing.assert_allclose(t[shift][pos], ref_t[pos], atol=0)
+
+
+def test_align_engine_beats_or_equals_topk(tmp_path):
+    """Exhaustive alignment scores >= candidate-restricted topk scores."""
+    rng = np.random.default_rng(2)
+    db, counts, song_pos = make_db(rng, n_songs=10, d=8)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("song%d\n" % i for i in range(10)))
+    write_index_meta(dbdir, d=8)
+
+    query = db[song_pos[4] + 2 : song_pos[4] + 9] + 0.1 * rng.standard_normal(
+        (7, 8)
+    ).astype(np.float32)
+
+    albase = {"top_k": 4, "backend": "exact", "db_dtype": "float32"}
+    d_align = Database(dbdir, dict(albase, engine="align"), hop_size=0.5)
+    d_topk = Database(dbdir, dict(albase, engine="topk"), hop_size=0.5)
+    ba, (sa, ta), tab_a = d_align.query_embeddings(query)
+    bt, (st, tt), tab_t = d_topk.query_embeddings(query)
+    assert sa == st == 4
+    assert ta == pytest.approx(tt)
+    assert ba >= bt - 1e-5
+    has = tab_t[:, 0] > 0
+    assert (tab_a[has, 0] >= tab_t[has, 0] - 1e-5).all()
+
+
+def test_align_negative_offset():
+    """Query starting before the song start (t < 0) is representable."""
+    rng = np.random.default_rng(3)
+    db, counts, song_pos = make_db(rng, n_songs=4, min_len=12)
+    engine = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32)
+    # query = 3 zero rows then the first 4 segments of song 1 => t = -3
+    query = np.concatenate(
+        [np.zeros((3, 16), np.float32), db[song_pos[1] : song_pos[1] + 4]]
+    )
+    filters, sub_lens, _ = queries_to_filters(query, 1, 16)
+    score, t = engine.search(filters, sub_lens)
+    assert int(np.argmax(score[0])) == 1
+    assert t[0, 1] == -3
+
+
+def test_align_database_batch_matches_single(tmp_path):
+    rng = np.random.default_rng(4)
+    db, counts, song_pos = make_db(rng, n_songs=6, d=8)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(6)))
+    write_index_meta(dbdir, d=8)
+    database = Database(
+        dbdir, {"top_k": 4, "engine": "align", "db_dtype": "float32"}, hop_size=0.5
+    )
+    q1 = db[song_pos[1] + 1 : song_pos[1] + 7]
+    q2 = db[song_pos[5] : song_pos[5] + 5]
+    single = [database.query_embeddings(q) for q in (q1, q2)]
+    batch = database.query_embeddings_batch([q1, q2])
+    for s, b in zip(single, batch):
+        assert s[1][0] == b[1][0]
+        np.testing.assert_allclose(s[0], b[0], rtol=1e-5)
+        np.testing.assert_allclose(s[2], b[2], rtol=1e-5, atol=1e-6)

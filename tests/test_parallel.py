@@ -1,0 +1,127 @@
+"""Multi-chip code paths on the virtual 8-device CPU mesh: DB-sharded
+search and data-parallel training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pfann_tpu.index.search import finalize_song_scores, search_and_rerank
+from pfann_tpu.parallel.mesh import make_mesh
+from pfann_tpu.parallel.sharded_search import ShardedDatabase, partition_songs
+
+
+def make_db(rng, n_songs=12, min_len=5, max_len=40, d=16):
+    counts = rng.integers(min_len, max_len, n_songs)
+    song_pos = np.pad(np.cumsum(counts.astype(np.int64)), (1, 0))
+    db = rng.standard_normal((song_pos[-1], d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    return db, counts, song_pos
+
+
+def single_device_query(db, song_pos, query, top_k):
+    S = query.shape[0]
+    song_max, song_time = search_and_rerank(
+        jnp.asarray(db),
+        jnp.asarray(song_pos, jnp.int32),
+        jnp.asarray(query),
+        jnp.ones(S, bool),
+        top_k=top_k,
+        n_songs=len(song_pos) - 1,
+        backend="exact",
+    )
+    return np.asarray(song_max), np.asarray(song_time)
+
+
+def test_partition_songs_balanced():
+    counts = np.array([100, 1, 1, 1, 50, 50, 30, 70])
+    groups = partition_songs(counts, 4)
+    assert sorted(sum(groups, [])) == list(range(8))
+    loads = [sum(counts[g]) for g in groups]
+    assert max(loads) - min(loads) <= 100
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_matches_single_device_full_topk(n_dev):
+    """With top_k >= every shard's row count the candidate sets coincide,
+    so sharded and single-device results must agree exactly."""
+    rng = np.random.default_rng(0)
+    db, counts, song_pos = make_db(rng)
+    mesh = make_mesh("db", n_dev)
+    sdb = ShardedDatabase(
+        db, counts, mesh, top_k=int(counts.sum()), backend="exact",
+        db_dtype=jnp.float32,
+    )
+    query = db[song_pos[5] + 2 : song_pos[5] + 9] + 0.02 * rng.standard_normal(
+        (7, 16)
+    ).astype(np.float32)
+    smax, stime = sdb.query_batch([query])
+    ref_max, ref_time = single_device_query(db, song_pos, query, int(counts.sum()))
+    np.testing.assert_allclose(smax[0], ref_max, rtol=1e-4, atol=1e-5)
+    finite = np.isfinite(ref_max)
+    np.testing.assert_allclose(stime[0][finite], ref_time[finite], atol=1e-5)
+
+
+def test_sharded_best_song_matches_small_topk():
+    """With a small top_k the sharded engine sees a candidate superset —
+    the winning song must agree and marginal song scores can only grow."""
+    rng = np.random.default_rng(1)
+    db, counts, song_pos = make_db(rng, n_songs=16)
+    mesh = make_mesh("db", 4)
+    sdb = ShardedDatabase(db, counts, mesh, top_k=5, backend="exact",
+                          db_dtype=jnp.float32)
+    for song in (0, 7, 15):
+        query = db[song_pos[song] + 1 : song_pos[song] + 6]
+        smax, stime = sdb.query_batch([query])
+        ref_max, _ = single_device_query(db, song_pos, query, 5)
+        assert int(np.argmax(smax[0])) == int(np.argmax(ref_max)) == song
+        has_ref = np.isfinite(ref_max)
+        assert (smax[0][has_ref] >= ref_max[has_ref] - 1e-5).all()
+
+
+def test_sharded_batch_multiple_queries():
+    rng = np.random.default_rng(2)
+    db, counts, song_pos = make_db(rng, n_songs=10)
+    mesh = make_mesh("db", 8)
+    sdb = ShardedDatabase(db, counts, mesh, top_k=8, backend="exact",
+                          db_dtype=jnp.float32)
+    queries = [db[song_pos[s] : song_pos[s] + 5] for s in (1, 4, 8)]
+    smax, stime = sdb.query_batch(queries)
+    for row, s in zip(range(3), (1, 4, 8)):
+        best, (ans, tim), _ = finalize_song_scores(
+            smax[row], stime[row], 0.5, 1
+        )
+        assert ans == s
+        assert tim == pytest.approx(0.0)
+        assert best == pytest.approx(1.0, abs=1e-4)
+
+
+def test_dp_training_step_on_mesh():
+    from pfann_tpu.train.trainer import Trainer
+
+    mesh = make_mesh("dp", 8)
+    cfg = {
+        "batch_size": 16,
+        "sample_rate": 8000,
+        "stft_n": 1024,
+        "stft_hop": 256,
+        "n_mels": 256,
+        "f_min": 300,
+        "f_max": 4000,
+        "segment_size": 1,
+        "hop_size": 0.5,
+        "epoch": 1,
+        "lr": 1e-3,
+        "tau": 0.05,
+        "cutout_min": 0.1,
+        "cutout_max": 0.5,
+        "model": {"d": 16, "h": 64, "u": 8, "fuller": True},
+    }
+    trainer = Trainer(cfg, compute_dtype=jnp.float32, mesh=mesh)
+    params, opt_state = trainer.init_state()
+    x = np.random.default_rng(0).random((16, 256, 32), dtype=np.float32)
+    p2, o2, loss = trainer.train_step(
+        params, opt_state, jnp.asarray(x), jax.random.key(0)
+    )
+    assert np.isfinite(float(loss))
