@@ -177,11 +177,11 @@ class Trainer:
         base_key = jax.random.fold_in(jax.random.key(seed), epoch)
         t0 = time.time()
         for step, x in enumerate(loader):
-            x = np.asarray(x)
+            x = jnp.asarray(x)  # no-op for device-resident loader outputs
             x = x.reshape((-1,) + x.shape[2:])  # flatten pairs (train.py:80)
             key = jax.random.fold_in(base_key, step)
             params, opt_state, loss = self.train_step(
-                params, opt_state, jnp.asarray(x), key
+                params, opt_state, x, key
             )
             losses.append(loss)
         losses = [float(l) for l in losses]
@@ -217,11 +217,15 @@ class Trainer:
         return np.concatenate(outs) if outs else np.zeros((0, self.model.d), np.float32)
 
     def validate(self, params, train_loader, val_loader) -> dict[str, float]:
-        """Ranking validation (train.py:111-163)."""
+        """Ranking validation (train.py:111-163).  The train set is
+        embedded clean (augmented=False, org crop only); the val set keeps
+        augmentation ON — ranking measures retrieval of the *noisy* pair
+        (train.py:115-135 flag settings)."""
         for ld in (train_loader, val_loader):
             ld.shuffle = False
             ld.eval_time_shift = True
-            ld.augmented = False
+        train_loader.augmented = False
+        val_loader.augmented = True
 
         x_embed = self._embed_all(
             params, (np.asarray(x)[:, 0] for x in train_loader)

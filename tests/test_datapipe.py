@@ -1,0 +1,197 @@
+"""Real training data pipeline: preprocess cache, segment dataset,
+on-device augmentation (noise / AIR / MicIRP), loader integration."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pfann_tpu.ops.augment import add_noises, ir_convolve
+
+
+def test_add_noises_matches_reference_math():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 800)).astype(np.float32) * 0.3
+    bank = rng.standard_normal(8000).astype(np.float32)
+    out = np.asarray(add_noises(jax.random.key(1), jnp.asarray(x), jnp.asarray(bank), 5.0, 5.0))
+    # at fixed snr: ||out - x|| / ||noise crop|| must equal vol_x/vol_n * 10^-0.25
+    added = out - x
+    vol_x = np.sqrt((x**2).mean(axis=1))
+    vol_added = np.sqrt((added**2).mean(axis=1))
+    np.testing.assert_allclose(vol_added / vol_x, 10 ** (-5.0 / 20), rtol=1e-4)
+
+
+def test_ir_convolve_matches_numpy_fftconv():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 500)).astype(np.float32)
+    ir = np.zeros(64, np.float32)
+    ir[0], ir[10] = 1.0, 0.5  # direct + one echo
+    n = 1024
+    spec = np.fft.rfft(ir, n).astype(np.complex64)[None]
+    out = np.asarray(ir_convolve(jax.random.key(0), jnp.asarray(x), jnp.asarray(spec), None, n))
+    ref = np.stack([np.fft.irfft(np.fft.rfft(xi, n) * spec[0], n) for xi in x])
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def pipeline_root(tmp_path_factory):
+    """Synthetic corpus + noise + micirp wavs + AIR .mat + config."""
+    import scipy.io
+
+    from pfann_tpu.audio.io import write_wav
+
+    root = tmp_path_factory.mktemp("pipe")
+    rng = np.random.default_rng(3)
+    music_dir = root / "music"
+    music_dir.mkdir()
+    rows = []
+    for i in range(4):
+        wav = (rng.random(8000 * 6, dtype=np.float32) - 0.5) * 0.8
+        write_wav(str(music_dir / f"m{i}.wav"), wav, 8000)
+        rows.append(f"m{i}.wav")
+    for split in ("train", "validate"):
+        with open(root / f"music_{split}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["file"])
+            w.writerows([[r] for r in rows])
+
+    noise_dir = root / "noise"
+    noise_dir.mkdir()
+    with open(root / "noise.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file"])
+        for i in range(2):
+            wav = (rng.random(8000 * 3, dtype=np.float32) - 0.5) * 0.5
+            write_wav(str(noise_dir / f"n{i}.wav"), wav, 8000)
+            w.writerow([f"n{i}.wav"])
+
+    mic_dir = root / "micirp"
+    mic_dir.mkdir()
+    with open(root / "micirp.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file"])
+        ir = np.zeros(4000, np.float32)
+        ir[0] = 1.0
+        ir[800] = 0.3
+        write_wav(str(mic_dir / "mic0.wav"), ir, 8000)
+        w.writerow(["mic0.wav"])
+
+    air_dir = root / "air"
+    air_dir.mkdir()
+    with open(root / "air.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file"])
+        h = np.zeros((1, 2000), np.float64)
+        h[0, 0] = 1.0
+        h[0, 300] = 0.4
+        scipy.io.savemat(
+            str(air_dir / "a0.mat"),
+            {
+                "h_air": h,
+                "air_info": {"fs": np.array([[8000]]), "room": "testroom"},
+            },
+        )
+        w.writerow(["a0.mat"])
+
+    cfg = {
+        "train_csv": str(root / "music_train.csv"),
+        "validate_csv": str(root / "music_validate.csv"),
+        "music_dir": str(music_dir),
+        "model_dir": str(root / "model"),
+        "cache_dir": str(root / "caches"),
+        "batch_size": 8,
+        "shuffle_size": 2,
+        "sample_rate": 8000,
+        "stft_n": 1024,
+        "stft_hop": 256,
+        "n_mels": 256,
+        "f_min": 300,
+        "f_max": 4000,
+        "segment_size": 1,
+        "hop_size": 0.5,
+        "time_offset": 1.2,
+        "pad_start": 0.5,
+        "epoch": 1,
+        "lr": 1e-3,
+        "tau": 0.05,
+        "cutout_min": 0.1,
+        "cutout_max": 0.5,
+        "noise": {
+            "train": str(root / "noise.csv"),
+            "validate": str(root / "noise.csv"),
+            "dir": str(noise_dir),
+            "snr_max": 10,
+            "snr_min": 0,
+        },
+        "micirp": {
+            "train": str(root / "micirp.csv"),
+            "validate": str(root / "micirp.csv"),
+            "dir": str(mic_dir),
+            "length": 0.5,
+        },
+        "air": {
+            "train": str(root / "air.csv"),
+            "validate": str(root / "air.csv"),
+            "dir": str(air_dir),
+            "length": 0.25,
+        },
+        "model": {"d": 16, "h": 64, "u": 8, "fuller": True},
+        "indexer": {"top_k": 10, "frame_shift_mul": 1},
+    }
+    return cfg
+
+
+def test_segmented_loader(pipeline_root):
+    from pfann_tpu.data.segments import SegmentedDataLoader
+
+    loader = SegmentedDataLoader("train", pipeline_root, num_workers=2)
+    ds = loader.dataset
+    # 6 s songs, 1 s segments, 0.5 s hop -> 11 segments per song
+    assert len(ds) == 4 * 11
+    assert ds.get_num_songs() == 4
+    assert ds.fftconv_n >= ds.segment_size + ds.pad_start + 2000 + 4000
+
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 11
+    x = np.asarray(batches[0])
+    assert x.shape == (4, 2, 256, 32)
+    assert np.isfinite(x).all()
+    # determinism per epoch
+    loader.set_epoch(0)
+    x2 = np.asarray(next(iter(loader)))
+    np.testing.assert_allclose(x, x2, atol=1e-5)
+
+    # augmented pairs differ; non-augmented yields single channel
+    assert np.abs(x[:, 0] - x[:, 1]).max() > 0.1
+    loader.augmented = False
+    loader.eval_time_shift = True
+    y = np.asarray(next(iter(loader)))
+    assert y.shape == (4, 1, 256, 32)
+
+
+def test_cache_is_reference_format(pipeline_root):
+    from pfann_tpu.data.preprocess import cache_path, ensure_music_cache
+
+    prefix = ensure_music_cache(pipeline_root, "train")
+    lens = np.load(prefix + ".npy")
+    assert lens.dtype == np.int64 and lens.shape == (4,)
+    data = np.fromfile(prefix + ".bin", dtype=np.int16)
+    assert data.shape[0] == lens.sum()
+
+
+def test_train_on_real_pipeline(pipeline_root, tmp_path):
+    from pfann_tpu.data.segments import SegmentedDataLoader
+    from pfann_tpu.train.trainer import Trainer
+
+    cfg = dict(pipeline_root, model_dir=str(tmp_path / "model"))
+    train_loader = SegmentedDataLoader("train", cfg, num_workers=2)
+    val_loader = SegmentedDataLoader("validate", cfg, num_workers=2)
+    trainer = Trainer(cfg, compute_dtype=jnp.float32)
+    params = trainer.fit(train_loader, val_loader)
+    assert params is not None
+    assert os.path.exists(os.path.join(cfg["model_dir"], "model.msgpack"))
