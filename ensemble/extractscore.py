@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Extract (NN score, is_correct) pairs from a matcher run for SVM fusion.
+
+Parity: reference ensemble/extractscore.py — reads the matcher's
+``<result>.bin`` ([n_query, n_songs, 2] float32), takes the predicted
+song's score, pairs it with correctness vs ground truth, saves npy.
+
+    python ensemble/extractscore.py <songlist> <gt> <predict> <out.npy>
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import extract_ans, read_song_ids  # noqa: E402
+
+
+def main():
+    args = argparse.ArgumentParser()
+    args.add_argument("songlist")
+    args.add_argument("groundtruth")
+    args.add_argument("predict")
+    args.add_argument("out")
+    args = args.parse_args()
+
+    gt = dict(extract_ans(args.groundtruth))
+    pr = extract_ans(args.predict)
+    song_ids = read_song_ids(args.songlist)
+
+    sco_bin = np.fromfile(args.predict + ".bin", dtype=np.float32)
+    sco_bin = sco_bin.reshape([-1, len(song_ids), 2])
+
+    scores = []
+    for i, (query, ans) in enumerate(pr):
+        if query not in gt:
+            print("query %s in prediction file not found!!" % query)
+            raise SystemExit(1)
+        scores.append((sco_bin[i, song_ids[ans], 0], ans == gt[query]))
+    np.save(args.out, np.array(scores, dtype=np.float32))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,19 +48,25 @@ DEFAULT_PAD = 32  # supports query windows up to 32 segments (> 10 s default)
 
 
 def build_uniform_layout(
-    embeddings: np.ndarray, counts: np.ndarray, pad: int = DEFAULT_PAD
+    embeddings: np.ndarray,
+    counts: np.ndarray,
+    pad: int = DEFAULT_PAD,
+    align_to: int = 1,
 ) -> tuple[np.ndarray, int]:
     """Re-pack the flat embedding matrix into uniform per-song regions of
     R = pad + max(counts) rows: [pad zeros | song rows | slack zeros].
 
-    Returns (db_padded [n_songs * R + pad, d], R).  The trailing pad keeps
-    the last song's overhanging windows in-bounds.
+    Returns (db_padded [>= n_songs * R + pad, d], R).  The trailing pad
+    keeps the last song's overhanging windows in-bounds; total rows are
+    rounded up to a multiple of ``align_to`` (Pallas grid blocks).
     """
     n_songs = len(counts)
     d = embeddings.shape[1] if embeddings.size else 0
     lmax = int(counts.max()) if n_songs else 0
     R = pad + lmax
-    db = np.zeros((n_songs * R + pad, d), dtype=np.float32)
+    total = n_songs * R + pad
+    total = -(-total // align_to) * align_to
+    db = np.zeros((total, d), dtype=np.float32)
     song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
     for s in range(n_songs):
         c = int(counts[s])
@@ -68,16 +74,20 @@ def build_uniform_layout(
     return db, R
 
 
-@functools.partial(jax.jit, static_argnames=("R", "S", "score_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("R", "S", "n_songs", "score_dtype", "impl")
+)
 def _alignment_search_uniform(
     db: jnp.ndarray,
     queries: jnp.ndarray,
     *,
     R: int,
     S: int,
+    n_songs: int,
     score_dtype=jnp.bfloat16,
+    impl: str = "xla",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """db [n_songs*R + pad, d]; queries [B, S, d].
+    """db [>= n_songs*R + pad, d]; queries [B, S, d].
 
     Returns (song_best [B, n_songs] f32 — summed alignment score,
     song_argoff [B, n_songs] int32 — best window offset within the region,
@@ -85,9 +95,15 @@ def _alignment_search_uniform(
     """
     N, d = db.shape
     B = queries.shape[0]
-    n_songs = (N - 1) // R  # N = n_songs * R + pad, 0 < pad < R
 
     qsT = jnp.transpose(queries, (2, 1, 0)).reshape(d, S * B)
+
+    if impl == "pallas":
+        from pfann_tpu.index.pallas_align import pallas_alignment
+
+        align = pallas_alignment(db, qsT.astype(db.dtype), S=S)
+        return _reduce_per_song(align[: n_songs * R], n_songs, R, B)
+
     scores = jnp.matmul(
         db.astype(score_dtype), qsT.astype(score_dtype),
         preferred_element_type=score_dtype,
@@ -98,9 +114,17 @@ def _alignment_search_uniform(
     for i in range(1, S):
         align = align + scores[i : N0 + i, i, :].astype(jnp.float32)
 
+    return _reduce_per_song(align, n_songs, R, B)
+
+
+def _reduce_per_song(align: jnp.ndarray, n_songs: int, R: int, B: int):
     align = align.reshape(n_songs, R, B)
     song_best = jnp.max(align, axis=1)            # [n_songs, B]
-    song_argoff = jnp.argmax(align, axis=1)       # [n_songs, B]
+    # two-pass argmax (plain reduces lower better on TPU than the fused
+    # variadic max+argmax reduce)
+    offs = jax.lax.broadcasted_iota(jnp.int32, align.shape, 1)
+    is_best = align >= song_best[:, None, :]
+    song_argoff = jnp.max(jnp.where(is_best, offs, -1), axis=1)
     return jnp.transpose(song_best), jnp.transpose(song_argoff).astype(jnp.int32)
 
 
@@ -116,8 +140,18 @@ class AlignmentEngine:
         score_dtype=jnp.bfloat16,
         device=None,
         max_batch_rows: int = 16,
+        impl: str = "auto",
     ):
-        db, R = build_uniform_layout(embeddings, counts, pad)
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.impl = impl
+        if impl == "pallas":
+            from pfann_tpu.index.pallas_align import LANE_B
+
+            # the fused kernel processes one full lane group of queries
+            max_batch_rows = LANE_B
+        align_to = 512 if impl == "pallas" else 1
+        db, R = build_uniform_layout(embeddings, counts, pad, align_to=align_to)
         self.pad = pad
         self.R = R
         self.n_songs = len(counts)
@@ -129,32 +163,46 @@ class AlignmentEngine:
     def max_query_windows(self) -> int:
         return self.pad  # longer filters could cross into the next region
 
+    def search_device(self, filters: np.ndarray) -> list:
+        """Dispatch alignment over max_batch-row chunks WITHOUT pulling
+        results to the host — returns a list of (best, argoff) device
+        array pairs.  Lets callers pipeline many batches (the sandbox TPU
+        tunnel has a large fixed host-sync cost per call)."""
+        B, S, _ = filters.shape
+        outs = []
+        for i in range(0, B, self.max_batch):
+            chunk = filters[i : i + self.max_batch]
+            if chunk.shape[0] < self.max_batch:
+                chunk = np.concatenate(
+                    [chunk,
+                     np.zeros((self.max_batch - chunk.shape[0], S, self.d),
+                              np.float32)]
+                )
+            outs.append(
+                _alignment_search_uniform(
+                    self._db,
+                    jnp.asarray(chunk),
+                    R=self.R,
+                    S=S,
+                    n_songs=self.n_songs,
+                    score_dtype=self.score_dtype,
+                    impl=self.impl,
+                )
+            )
+        return outs
+
     def search(
         self, filters: np.ndarray, sub_lens: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
         """filters [B, S, d] (zero rows beyond sub_lens[b]); returns
         (song_score [B, n_songs] — mean alignment, song_t [B, n_songs] —
         offset in DB-hop units relative to song start)."""
-        B, S, _ = filters.shape
-        outs_best, outs_off = [], []
-        for i in range(0, B, self.max_batch):
-            chunk = filters[i : i + self.max_batch]
-            n = chunk.shape[0]
-            if n < self.max_batch:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((self.max_batch - n, S, self.d), np.float32)]
-                )
-            best, argoff = _alignment_search_uniform(
-                self._db,
-                jnp.asarray(chunk),
-                R=self.R,
-                S=S,
-                score_dtype=self.score_dtype,
-            )
-            outs_best.append(np.asarray(best)[:n])
-            outs_off.append(np.asarray(argoff)[:n])
-        song_best = np.concatenate(outs_best)
-        song_off = np.concatenate(outs_off)
+        B = filters.shape[0]
+        outs = self.search_device(filters)
+        outs_best = [np.asarray(b) for b, _ in outs]
+        outs_off = [np.asarray(o) for _, o in outs]
+        song_best = np.concatenate(outs_best)[:B]
+        song_off = np.concatenate(outs_off)[:B]
         song_score = (song_best / np.maximum(sub_lens, 1)[:, None]).astype(np.float32)
         song_t = (song_off - self.pad).astype(np.float32)
         return song_score, song_t
