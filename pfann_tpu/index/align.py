@@ -52,19 +52,26 @@ def build_uniform_layout(
     counts: np.ndarray,
     pad: int = DEFAULT_PAD,
     align_to: int = 1,
+    round_r_to: int = 1,
+    pad_songs_to: int = 1,
+    trailing_pad: bool = True,
 ) -> tuple[np.ndarray, int]:
     """Re-pack the flat embedding matrix into uniform per-song regions of
     R = pad + max(counts) rows: [pad zeros | song rows | slack zeros].
 
-    Returns (db_padded [>= n_songs * R + pad, d], R).  The trailing pad
-    keeps the last song's overhanging windows in-bounds; total rows are
-    rounded up to a multiple of ``align_to`` (Pallas grid blocks).
+    Returns (db_padded, R).  Options serve the two engine impls:
+      * XLA: trailing_pad keeps the last song's overhanging windows
+        in-bounds; align_to rounds total rows up.
+      * Pallas: round_r_to/pad_songs_to make R a sublane multiple and the
+        song count a multiple of the kernel's song-group size (the kernel
+        synthesizes the trailing zeros itself).
     """
     n_songs = len(counts)
     d = embeddings.shape[1] if embeddings.size else 0
     lmax = int(counts.max()) if n_songs else 0
-    R = pad + lmax
-    total = n_songs * R + pad
+    R = -(-(pad + lmax) // round_r_to) * round_r_to
+    n_eff = -(-max(n_songs, 1) // pad_songs_to) * pad_songs_to
+    total = n_eff * R + (pad if trailing_pad else 0)
     total = -(-total // align_to) * align_to
     db = np.zeros((total, d), dtype=np.float32)
     song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
@@ -74,10 +81,7 @@ def build_uniform_layout(
     return db, R
 
 
-@functools.partial(
-    jax.jit, static_argnames=("R", "S", "n_songs", "score_dtype", "impl")
-)
-def _alignment_search_uniform(
+def alignment_core(
     db: jnp.ndarray,
     queries: jnp.ndarray,
     *,
@@ -91,7 +95,8 @@ def _alignment_search_uniform(
 
     Returns (song_best [B, n_songs] f32 — summed alignment score,
     song_argoff [B, n_songs] int32 — best window offset within the region,
-    i.e. t + pad).
+    i.e. t + pad).  Pure function (also used inside shard_map — see
+    pfann_tpu/parallel/sharded_search.py).
     """
     N, d = db.shape
     B = queries.shape[0]
@@ -99,10 +104,15 @@ def _alignment_search_uniform(
     qsT = jnp.transpose(queries, (2, 1, 0)).reshape(d, S * B)
 
     if impl == "pallas":
-        from pfann_tpu.index.pallas_align import pallas_alignment
+        from pfann_tpu.index.pallas_align import PALLAS_G, pallas_alignment_reduce
 
-        align = pallas_alignment(db, qsT.astype(db.dtype), S=S)
-        return _reduce_per_song(align[: n_songs * R], n_songs, R, B)
+        best, argoff = pallas_alignment_reduce(
+            db, qsT.astype(db.dtype), S=S, R=R, G=PALLAS_G
+        )
+        return (
+            jnp.transpose(best[:n_songs]),
+            jnp.transpose(argoff[:n_songs]),
+        )
 
     scores = jnp.matmul(
         db.astype(score_dtype), qsT.astype(score_dtype),
@@ -115,6 +125,11 @@ def _alignment_search_uniform(
         align = align + scores[i : N0 + i, i, :].astype(jnp.float32)
 
     return _reduce_per_song(align, n_songs, R, B)
+
+
+_alignment_search_uniform = functools.partial(
+    jax.jit, static_argnames=("R", "S", "n_songs", "score_dtype", "impl")
+)(alignment_core)
 
 
 def _reduce_per_song(align: jnp.ndarray, n_songs: int, R: int, B: int):
@@ -146,12 +161,16 @@ class AlignmentEngine:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.impl = impl
         if impl == "pallas":
-            from pfann_tpu.index.pallas_align import LANE_B
+            from pfann_tpu.index.pallas_align import LANE_B, PALLAS_G
 
             # the fused kernel processes one full lane group of queries
             max_batch_rows = LANE_B
-        align_to = 512 if impl == "pallas" else 1
-        db, R = build_uniform_layout(embeddings, counts, pad, align_to=align_to)
+            db, R = build_uniform_layout(
+                embeddings, counts, pad,
+                round_r_to=8, pad_songs_to=PALLAS_G, trailing_pad=False,
+            )
+        else:
+            db, R = build_uniform_layout(embeddings, counts, pad)
         self.pad = pad
         self.R = R
         self.n_songs = len(counts)

@@ -1,24 +1,25 @@
-"""Pallas TPU kernel: fused alignment scan.
+"""Pallas TPU kernel: fused alignment scan with in-kernel per-song reduce.
 
 The XLA version of the exhaustive-alignment engine (index/align.py)
-materializes the [N, S*B] score tensor in HBM (bf16 ~3.7 GB per 64-query
-batch against a 10k-track DB) and then re-reads it with a strided access
-pattern for the diagonal reduction — measured ~13x off memory
-speed-of-light.  This kernel fuses the block matmul and the diagonal
-reduction so scores never leave VMEM:
+materializes the [N, S*B] score tensor in HBM (~3.7 GB bf16 per 128-query
+batch against a 10k-track DB) plus a [N, B] float32 alignment tensor and
+int32 iota temporaries for the argmax — measured >10x off memory
+speed-of-light.  This kernel fuses the whole per-song pipeline:
 
-    per grid step (one block of BN db rows + a HALO of the next block):
-        scores = db_block @ qmat            (MXU, f32 accumulate)
-        align[o, b] = sum_i scores[o+i, i*B + b]   (VPU shift-adds)
+    per grid step (one group of G song regions, R rows each):
+        x      = [db rows of the group | HALO zero rows]      (VMEM)
+        scores = x @ qmat                          (MXU, f32 accumulate)
+        align[o, b] = sum_i scores[o+i, i*B+b]     (VPU shift-adds)
+        best/argoff = max/argmax over each region  (VPU reduce)
 
-HBM traffic drops to db read (~390 MB bf16) + align write ([N, B] f32),
-~10x less than the XLA path.
+Only (best [G, B], argoff [G, B]) leave the chip per step, so HBM traffic
+collapses to the db read (~390 MB bf16).  The zero halo is synthesized
+in-kernel — valid because every region starts with PAD >= S-1 zero rows
+(the layout invariant from index/align.py), so the rows following a group
+are zeros anyway.
 
-Grid/meta rules follow /opt/skills/guides/pallas_guide.md: block-unit
-index maps, last-dim-128-or-full blocks, VMEM block specs, static shapes.
-The HALO handling clamps the halo block at the grid edge; windows whose
-scores would be affected start inside the layout's trailing zero pad and
-are discarded by the caller (see index/align.py layout invariants).
+Constraints: B = 128 queries per call (one full lane group per window
+row); S <= HALO; R and G*R multiples of 8.
 """
 
 from __future__ import annotations
@@ -31,63 +32,71 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALO = 32  # supports query filters up to HALO+1 windows; == layout PAD
-
-
+HALO = 32   # max supported windows per query filter; == layout PAD
 LANE_B = 128  # queries per kernel call — one full lane group per window row
+PALLAS_G = 8  # song regions per grid step (>=8: output block sublane
+              # constraint; VMEM budget: (G*R + HALO) x S*128 f32 scores)
 
 
-def _align_kernel(S: int, BN: int, db_ref, halo_ref, q_ref, out_ref):
-    x = jnp.concatenate([db_ref[:], halo_ref[0:HALO, :]], axis=0)  # [BN+HALO, d]
-    scores = jnp.dot(
-        x, q_ref[:], preferred_element_type=jnp.float32
-    )  # [BN+HALO, S*LANE_B] in VMEM
-    # diagonal reduction with 2D lane-aligned slices (Mosaic rejects a
-    # reshape to a 64-lane last dim; 128-wide column groups slice cleanly)
-    acc = scores[0:BN, 0:LANE_B]
+def _align_reduce_kernel(S: int, G: int, R: int, db_ref, q_ref, best_ref, off_ref):
+    rows = G * R
+    d = db_ref.shape[1]
+    x = jnp.concatenate(
+        [db_ref[:], jnp.zeros((HALO, d), db_ref.dtype)], axis=0
+    )  # [rows + HALO, d]
+    scores = jnp.dot(x, q_ref[:], preferred_element_type=jnp.float32)
+    acc = scores[0:rows, 0:LANE_B]
     for i in range(1, S):
-        acc = acc + scores[i : BN + i, i * LANE_B : (i + 1) * LANE_B]
-    out_ref[:] = acc
+        acc = acc + scores[i : rows + i, i * LANE_B : (i + 1) * LANE_B]
+    a3 = acc.reshape(G, R, LANE_B)
+    best = jnp.max(a3, axis=1)                                   # [G, B]
+    offs = jax.lax.broadcasted_iota(jnp.int32, a3.shape, 1)
+    argoff = jnp.max(
+        jnp.where(a3 >= best[:, None, :], offs, -1), axis=1
+    )
+    best_ref[:] = best
+    off_ref[:] = argoff
 
 
-@functools.partial(jax.jit, static_argnames=("S", "block_n"))
-def pallas_alignment(
-    db: jnp.ndarray, qmat: jnp.ndarray, *, S: int, block_n: int = 512
-) -> jnp.ndarray:
-    """db [N, d] (N multiple of block_n, bf16); qmat [d, S*LANE_B]
-    (column (i, b) = query b's window-row i, matching align.py's filter
-    packing; callers zero-pad to exactly LANE_B=128 queries).
-    Returns align [N, LANE_B] f32 where align[j, b] = sum_i db[j+i].q_b[i]
-    (rows j > N - S use clamped-halo garbage — caller discards them)."""
+@functools.partial(jax.jit, static_argnames=("S", "R", "G"))
+def pallas_alignment_reduce(
+    db: jnp.ndarray, qmat: jnp.ndarray, *, S: int, R: int, G: int = 4
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """db [n_groups*G*R, d] (uniform-region layout, bf16); qmat
+    [d, S*LANE_B] (column (i, b) = query b's window-row i).
+
+    Returns (best [n_songs_padded, LANE_B] f32 summed alignment,
+    argoff [n_songs_padded, LANE_B] int32 window offset in the region)."""
     N, d = db.shape
-    B = qmat.shape[1] // S
-    assert B == LANE_B, (B, LANE_B)
-    assert N % block_n == 0, (N, block_n)
-    nb = N // block_n
+    assert qmat.shape[1] == S * LANE_B, (qmat.shape, S)
+    assert S <= HALO + 1
+    assert N % (G * R) == 0, (N, G, R)
+    ng = N // (G * R)
 
-    kernel = functools.partial(_align_kernel, S, block_n)
+    kernel = functools.partial(_align_reduce_kernel, S, G, R)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((N, B), jnp.float32),
-        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((ng * G, LANE_B), jnp.float32),
+            jax.ShapeDtypeStruct((ng * G, LANE_B), jnp.int32),
+        ),
+        grid=(ng,),
         in_specs=[
-            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * R, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block_n, d),
-                lambda i: (jnp.minimum(i + 1, nb - 1), 0),
-                memory_space=pltpu.VMEM,
+                (d, S * LANE_B), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((d, qmat.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (block_n, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((G, LANE_B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, LANE_B), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * d * S * B,
-            bytes_accessed=N * d * db.dtype.itemsize + N * B * 4,
+            flops=2 * N * d * S * LANE_B,
+            bytes_accessed=N * d * db.dtype.itemsize,
             transcendentals=0,
         ),
-    )(db, db, qmat)
+    )(db, qmat)
 
 
 def alignment_pallas_available() -> bool:

@@ -65,6 +65,8 @@ class ShardedDatabase:
         score_alpha: float = 0.0,
         backend: str = "exact",
         db_dtype=jnp.bfloat16,
+        engine: str = "topk",
+        align_pad: int = 32,
     ):
         self.mesh = mesh
         self.axis = axis
@@ -72,6 +74,7 @@ class ShardedDatabase:
         self.frame_shift_mul = frame_shift_mul
         self.score_alpha = score_alpha
         self.backend = backend
+        self.engine = engine
         n_shards = mesh.shape[axis]
         self.n_shards = n_shards
         self.n_songs = len(counts)
@@ -80,28 +83,49 @@ class ShardedDatabase:
         song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
         groups = partition_songs(np.asarray(counts), n_shards)
         songs_max = max((len(g) for g in groups), default=0)
-        rows_max = max(
-            (int(sum(counts[s] for s in g)) for g in groups), default=1
-        )
-        rows_max = max(rows_max, 8)
-
-        db_sh = np.zeros((n_shards, rows_max, self.d), dtype=np.float32)
-        song_pos_sh = np.zeros((n_shards, songs_max + 1), dtype=np.int32)
         song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
-        for si, g in enumerate(groups):
-            at = 0
-            for gi, song in enumerate(g):
-                c = int(counts[song])
-                db_sh[si, at : at + c] = embeddings[song_pos[song] : song_pos[song] + c]
-                at += c
-                song_pos_sh[si, gi + 1] = at
-                song_map[si, gi] = song
-            song_pos_sh[si, len(g) + 1 :] = at  # padding songs: zero length
+        shard = NamedSharding(mesh, P(axis))
+
+        if engine == "align":
+            # uniform-region layout per shard (index/align.py), common R
+            # across shards so one program serves every chip
+            lmax = int(counts.max()) if len(counts) else 0
+            self.pad = align_pad
+            self.R = -(-(align_pad + lmax) // 8) * 8
+            rows = songs_max * self.R + align_pad
+            db_sh = np.zeros((n_shards, rows, self.d), dtype=np.float32)
+            for si, g in enumerate(groups):
+                for gi, song in enumerate(g):
+                    c = int(counts[song])
+                    at = gi * self.R + align_pad
+                    db_sh[si, at : at + c] = embeddings[
+                        song_pos[song] : song_pos[song] + c
+                    ]
+                    song_map[si, gi] = song
+            self._db = jax.device_put(jnp.asarray(db_sh, dtype=db_dtype), shard)
+            self._song_pos = None
+        else:
+            rows_max = max(
+                (int(sum(counts[s] for s in g)) for g in groups), default=1
+            )
+            rows_max = max(rows_max, 8)
+            db_sh = np.zeros((n_shards, rows_max, self.d), dtype=np.float32)
+            song_pos_sh = np.zeros((n_shards, songs_max + 1), dtype=np.int32)
+            for si, g in enumerate(groups):
+                at = 0
+                for gi, song in enumerate(g):
+                    c = int(counts[song])
+                    db_sh[si, at : at + c] = embeddings[
+                        song_pos[song] : song_pos[song] + c
+                    ]
+                    at += c
+                    song_pos_sh[si, gi + 1] = at
+                    song_map[si, gi] = song
+                song_pos_sh[si, len(g) + 1 :] = at  # padding songs: zero length
+            self._db = jax.device_put(jnp.asarray(db_sh, dtype=db_dtype), shard)
+            self._song_pos = jax.device_put(jnp.asarray(song_pos_sh), shard)
 
         self.songs_max = songs_max
-        shard = NamedSharding(mesh, P(axis))
-        self._db = jax.device_put(jnp.asarray(db_sh, dtype=db_dtype), shard)
-        self._song_pos = jax.device_put(jnp.asarray(song_pos_sh), shard)
         self.song_map = song_map  # host-side
         self._query_cache: dict[tuple[int, int], Any] = {}
 
@@ -111,6 +135,27 @@ class ShardedDatabase:
         top_k, fsm = self.top_k, self.frame_shift_mul
         alpha, backend = self.score_alpha, self.backend
         songs_max = self.songs_max
+
+        if self.engine == "align":
+            from pfann_tpu.index.align import alignment_core
+
+            R = self.R
+
+            @partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(), P()),
+                out_specs=(P(axis), P(axis)),
+            )
+            def sharded_align(db_sh, qpad, valid):
+                q = jnp.where(valid[:, :, None], qpad, 0.0)
+                best, argoff = alignment_core(
+                    db_sh[0], q, R=R, S=S, n_songs=songs_max,
+                    score_dtype=db_sh.dtype,
+                )
+                return best[None], argoff[None]
+
+            return jax.jit(sharded_align)
 
         def local_query(db, song_pos, qpad, valid):
             # db [rows_max, d]; song_pos [songs_max+1]; qpad [B, S, d]
@@ -151,11 +196,19 @@ class ShardedDatabase:
         key = (S, B)
         if key not in self._query_cache:
             self._query_cache[key] = self._make_query_fn(S, B)
-        smax, stime = self._query_cache[key](
-            self._db, self._song_pos, jnp.asarray(qpad), jnp.asarray(valid)
-        )
-        smax = np.asarray(smax)   # [n_shards, B, songs_max]
-        stime = np.asarray(stime)
+        if self.engine == "align":
+            best, argoff = self._query_cache[key](
+                self._db, jnp.asarray(qpad), jnp.asarray(valid)
+            )
+            lens = np.maximum(np.asarray([q.shape[0] for q in queries]), 1)
+            smax = np.asarray(best) / lens[None, :, None]
+            stime = (np.asarray(argoff) - self.pad).astype(np.float32)
+        else:
+            smax, stime = self._query_cache[key](
+                self._db, self._song_pos, jnp.asarray(qpad), jnp.asarray(valid)
+            )
+            smax = np.asarray(smax)   # [n_shards, B, songs_max]
+            stime = np.asarray(stime)
         out_max = np.full((B, self.n_songs), -np.inf, dtype=np.float32)
         out_time = np.zeros((B, self.n_songs), dtype=np.float32)
         for si in range(self.n_shards):

@@ -1,4 +1,4 @@
-"""Pallas fused-alignment kernel correctness (interpret mode on CPU)."""
+"""Pallas fused alignment+reduce kernel correctness (interpret mode, CPU)."""
 
 import numpy as np
 
@@ -7,9 +7,10 @@ import jax.numpy as jnp
 import jax.experimental.pallas as pl
 
 import pfann_tpu.index.pallas_align as pa
+from pfann_tpu.index.align import build_uniform_layout
 
 
-def test_pallas_alignment_interpret(monkeypatch):
+def test_pallas_alignment_reduce_interpret(monkeypatch):
     orig = pl.pallas_call
 
     def interp(*a, **k):
@@ -19,31 +20,62 @@ def test_pallas_alignment_interpret(monkeypatch):
     monkeypatch.setattr(pa.pl, "pallas_call", interp)
 
     rng = np.random.default_rng(0)
-    N, d, S, B = 1024, 128, 7, pa.LANE_B
-    db = rng.standard_normal((N, d)).astype(np.float32)
-    qs = rng.standard_normal((B, S, d)).astype(np.float32)
-    qmat = np.transpose(qs, (2, 1, 0)).reshape(d, S * B)
-    align = np.asarray(
-        pa.pallas_alignment(jnp.asarray(db), jnp.asarray(qmat), S=S)
+    d, S, B, pad = 128, 7, pa.LANE_B, 16
+    counts = np.asarray([20, 5, 33, 12, 9])  # 5 songs -> padded to 8 (G=4)
+    song_pos = np.pad(np.cumsum(counts), (1, 0))
+    emb = rng.standard_normal((int(counts.sum()), d)).astype(np.float32)
+    db, R = build_uniform_layout(
+        emb, counts, pad=pad, round_r_to=8, pad_songs_to=pa.PALLAS_G,
+        trailing_pad=False,
     )
-    # spot-check diagonal sums (full loop is slow in interpret mode)
-    for j in (0, 100, 511, 512, N - S):
-        for b in (0, 17, B - 1):
-            ref = sum(float(db[j + i] @ qs[b, i]) for i in range(S))
-            assert abs(align[j, b] - ref) < 1e-2 * max(1.0, abs(ref))
+    assert db.shape[0] % (pa.PALLAS_G * R) == 0
+
+    qs = rng.standard_normal((B, S, d)).astype(np.float32) * 0.2
+    qmat = np.transpose(qs, (2, 1, 0)).reshape(d, S * B)
+    best, argoff = pa.pallas_alignment_reduce(
+        jnp.asarray(db), jnp.asarray(qmat), S=S, R=R, G=pa.PALLAS_G
+    )
+    best, argoff = np.asarray(best), np.asarray(argoff)
+
+    # naive per-song best over all window starts in the region
+    for song in range(5):
+        start, length = song_pos[song], counts[song]
+        for b in (0, 63, B - 1):
+            scores = []
+            for t in range(-pad, R - pad):
+                s = sum(
+                    float(emb[start + t + i] @ qs[b, i])
+                    for i in range(S)
+                    if 0 <= t + i < length
+                )
+                scores.append(s)
+            ref_best = max(scores)
+            assert abs(best[song, b] - ref_best) < 1e-2 * max(1.0, abs(ref_best)), (
+                song, b, best[song, b], ref_best,
+            )
+            if ref_best > 1e-6:
+                assert argoff[song, b] - pad == int(np.argmax(scores)) - pad
+
+    # padded song slots reduce over all-zero regions -> best == 0
+    assert np.allclose(best[5:], 0.0)
 
 
 def test_engine_pallas_layout_alignment():
-    """Pallas layout rounds total rows to the block size and keeps song
-    regions identical to the XLA layout."""
-    from pfann_tpu.index.align import build_uniform_layout
-
     rng = np.random.default_rng(1)
     counts = np.asarray([5, 9, 3])
     emb = rng.standard_normal((17, 16)).astype(np.float32)
-    db_x, R_x = build_uniform_layout(emb, counts, pad=8, align_to=1)
-    db_p, R_p = build_uniform_layout(emb, counts, pad=8, align_to=512)
-    assert R_x == R_p
-    assert db_p.shape[0] % 512 == 0
-    np.testing.assert_array_equal(db_p[: db_x.shape[0]], db_x)
-    assert (db_p[db_x.shape[0] :] == 0).all()
+    db_x, R_x = build_uniform_layout(emb, counts, pad=8)
+    assert R_x == 17  # pad 8 + lmax 9
+    assert db_x.shape[0] == 3 * 17 + 8
+    db_p2, R_p2 = build_uniform_layout(
+        emb, counts, pad=8, round_r_to=8, pad_songs_to=4, trailing_pad=False
+    )
+    assert R_p2 == 24  # rounded up to a sublane multiple
+    assert db_p2.shape[0] == 4 * R_p2  # songs padded to a group of 4
+    # song rows preserved at region offsets
+    song_pos = np.pad(np.cumsum(counts), (1, 0))
+    for s in range(3):
+        np.testing.assert_array_equal(
+            db_p2[s * R_p2 + 8 : s * R_p2 + 8 + counts[s]],
+            emb[song_pos[s] : song_pos[s + 1]],
+        )

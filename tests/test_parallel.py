@@ -125,3 +125,26 @@ def test_dp_training_step_on_mesh():
         params, opt_state, jnp.asarray(x), jax.random.key(0)
     )
     assert np.isfinite(float(loss))
+
+
+def test_sharded_align_engine_matches_single_device():
+    from pfann_tpu.index.align import AlignmentEngine
+
+    rng = np.random.default_rng(5)
+    db, counts, song_pos = make_db(rng, n_songs=12)
+    mesh = make_mesh("db", 4)
+    sdb = ShardedDatabase(
+        db, counts, mesh, engine="align", db_dtype=jnp.float32, align_pad=16
+    )
+    single = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32, impl="xla")
+
+    for song in (0, 5, 11):
+        q = db[song_pos[song] + 1 : song_pos[song] + 7].copy()
+        q += 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+        smax, stime = sdb.query_batch([q])
+        filt = q[None, :, :]
+        s_score, s_t = single.search(filt, np.asarray([q.shape[0]]))
+        assert int(np.argmax(smax[0])) == int(np.argmax(s_score[0])) == song
+        np.testing.assert_allclose(smax[0], s_score[0], rtol=1e-4, atol=1e-5)
+        pos = s_score[0] > 1e-6
+        np.testing.assert_allclose(stime[0][pos], s_t[0][pos], atol=0)
