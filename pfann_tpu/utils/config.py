@@ -47,6 +47,41 @@ def write_config(params: dict[str, Any], path: str) -> None:
         json.dump(params, fout, indent=2)
 
 
+_s3_resource = None
+
+
+def get_s3_resource(endpoint_url: str | None = None):
+    """Lazily constructed boto3 S3 resource (simpleutils.py:49-55); gated
+    on boto3 being importable."""
+    global _s3_resource
+    if _s3_resource is None:
+        import boto3
+
+        _s3_resource = boto3.resource("s3", endpoint_url=endpoint_url)
+    return _s3_resource
+
+
+def download_tmp_from_s3(s3url: str) -> str:
+    """Download s3://bucket/key to a temp file; returns the path
+    (simpleutils.py:57-70)."""
+    import os
+    import tempfile
+
+    s3_res = get_s3_resource()
+    d1 = s3url.find("/", 5)
+    bucket_name, object_name = s3url[5:d1], s3url[d1 + 1 :]
+    ext = os.path.splitext(s3url)[1]
+    obj = s3_res.Object(bucket_name, object_name)
+    fd, tmpname = tempfile.mkstemp(suffix=ext, prefix="pfann")
+    os.close(fd)
+    try:
+        obj.download_file(tmpname)
+        return tmpname
+    except Exception as x:
+        os.unlink(tmpname)
+        raise RuntimeError("Unable to download %s: %s" % (s3url, x))
+
+
 def read_file_list(list_file: str) -> list[str]:
     """Read a file list: .csv (first column, header skipped) or plain txt
     (one path per line).  Parity: simpleutils.py:34-47."""
