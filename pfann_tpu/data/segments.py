@@ -141,8 +141,21 @@ class MusicSegmentDataset:
         else:
             shift_range = self.time_offset - seg
             x = [self.get_single_segment(i, 0, self.time_offset) for i in indices]
-            offset1 = rng.integers(0, shift_range + 1, len(x))
-            offset2 = rng.integers(0, shift_range + 1, len(x))
+            if self.params.get("time_shift_type", "triangle") == "uniform":
+                # uniform RELATIVE shift (legacy v1 semantics,
+                # dataset.py:266-274): draw the gap uniformly, then place
+                # the pair randomly and randomly order org/aug
+                n = len(x)
+                shft = rng.integers(0, shift_range + 1, n)
+                mov = rng.integers(0, shift_range - shft + 1, n)
+                swap = rng.random(n) > 0.5
+                offset1 = np.where(swap, shft + mov, mov)
+                offset2 = np.where(swap, mov, shft + mov)
+            else:
+                # independent uniform positions => triangular relative
+                # shift (dataset_v2.py:143-144)
+                offset1 = rng.integers(0, shift_range + 1, len(x))
+                offset2 = rng.integers(0, shift_range + 1, len(x))
 
         window = self.pad_start + seg
         x_org = np.stack(
@@ -181,6 +194,20 @@ class SegmentedDataLoader:
         air_spec = jnp.asarray(ds.air.data) if ds.air is not None else None
         mic_spec = jnp.asarray(ds.micirp.data) if ds.micirp is not None else None
         noise_cfg = configs.get("noise", {})
+        band_power = None
+        if noise_cfg.get("snr_only_in_f_range", False):
+            # SNR measured after a -24 dB bass shelf below f_min
+            # (reference dataset.py:209-226, configs/snr.json)
+            from pfann_tpu.ops.augment import bass_shelf_power_response
+
+            band_power = jnp.asarray(
+                bass_shelf_power_response(
+                    ds.pad_start + ds.segment_size,
+                    configs["sample_rate"],
+                    -24.0,
+                    configs["f_min"],
+                )
+            )
         self._augment_fn = make_augment_fn(
             mel,
             noise_bank,
@@ -191,6 +218,7 @@ class SegmentedDataLoader:
             segment_size=ds.segment_size,
             snr_min=noise_cfg.get("snr_min", 0),
             snr_max=noise_cfg.get("snr_max", 10),
+            band_power=band_power,
         )
 
     def set_epoch(self, epoch: int) -> None:

@@ -44,10 +44,17 @@ def _align_reduce_kernel(S: int, G: int, R: int, db_ref, q_ref, best_ref, off_re
     x = jnp.concatenate(
         [db_ref[:], jnp.zeros((HALO, d), db_ref.dtype)], axis=0
     )  # [rows + HALO, d]
-    scores = jnp.dot(x, q_ref[:], preferred_element_type=jnp.float32)
-    acc = scores[0:rows, 0:LANE_B]
+    # One small matmul per window row, accumulated immediately: peak VMEM
+    # stays ~2 MB (a monolithic x @ qmat would hold a (rows, S*128) f32
+    # score tile — 12+ MB — which serialized the pipeline: 243 ms vs 37 ms
+    # per 128-query batch at G=8 on v5e).
+    acc = jnp.dot(x[0:rows], q_ref[:, 0:LANE_B], preferred_element_type=jnp.float32)
     for i in range(1, S):
-        acc = acc + scores[i : rows + i, i * LANE_B : (i + 1) * LANE_B]
+        acc = acc + jnp.dot(
+            x[i : rows + i],
+            q_ref[:, i * LANE_B : (i + 1) * LANE_B],
+            preferred_element_type=jnp.float32,
+        )
     a3 = acc.reshape(G, R, LANE_B)
     best = jnp.max(a3, axis=1)                                   # [G, B]
     offs = jax.lax.broadcasted_iota(jnp.int32, a3.shape, 1)

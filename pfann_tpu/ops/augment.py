@@ -27,23 +27,75 @@ import jax
 import jax.numpy as jnp
 
 
+import numpy as np
+
+
+def bass_shelf_power_response(
+    length: int, sample_rate: int, gain_db: float, f_c: float, q: float = 0.707
+) -> np.ndarray:
+    """|H(f)|^2 of an audio-EQ-cookbook bass-shelf biquad, sampled at the
+    rfft bins of a ``length``-sample signal.
+
+    Used for the ``snr_only_in_f_range`` option (reference
+    dataset.py:209-226: SNR volumes measured after
+    torchaudio.functional.bass_biquad(sr, -24, f_min) — "our model cannot
+    hear <300 Hz sound").  Applying |H|^2 as a spectral weight in the RMS
+    computation is the Parseval-equivalent of time-domain filtering.
+    """
+    a = 10.0 ** (gain_db / 40.0)
+    w0 = 2.0 * np.pi * f_c / sample_rate
+    alpha = np.sin(w0) / (2.0 * q)
+    cs = np.cos(w0)
+    sq = 2.0 * np.sqrt(a) * alpha
+    b = np.array([
+        a * ((a + 1) - (a - 1) * cs + sq),
+        2 * a * ((a - 1) - (a + 1) * cs),
+        a * ((a + 1) - (a - 1) * cs - sq),
+    ])
+    den = np.array([
+        (a + 1) + (a - 1) * cs + sq,
+        -2 * ((a - 1) + (a + 1) * cs),
+        (a + 1) + (a - 1) * cs - sq,
+    ])
+    w = np.linspace(0, np.pi, length // 2 + 1)
+    z1 = np.exp(-1j * w)
+    num = b[0] + b[1] * z1 + b[2] * z1**2
+    dnm = den[0] + den[1] * z1 + den[2] * z1**2
+    return (np.abs(num / dnm) ** 2).astype(np.float32)
+
+
+def _weighted_rms(x: jnp.ndarray, band_power: jnp.ndarray | None) -> jnp.ndarray:
+    """RMS per row, optionally band-weighted in the frequency domain."""
+    eps = 1e-12
+    if band_power is None:
+        return jnp.sqrt(jnp.clip(jnp.mean(x * x, axis=1), min=eps))
+    L = x.shape[1]
+    spec = jnp.abs(jnp.fft.rfft(x, axis=1)) ** 2 * band_power[None, :]
+    # Parseval: sum(x^2) = (|X_0|^2 + 2 sum_mid + |X_nyq|^2) / L
+    mid = 2.0 * jnp.sum(spec[:, 1:-1], axis=1) if L > 2 else 0.0
+    total = spec[:, 0] + mid + (spec[:, -1] if L % 2 == 0 else 2.0 * spec[:, -1])
+    return jnp.sqrt(jnp.clip(total / (L * L), min=eps))
+
+
 def add_noises(
     key: jax.Array,
     x: jnp.ndarray,
     noise_bank: jnp.ndarray,
     snr_min: float,
     snr_max: float,
+    band_power: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """x [B, L]; noise_bank [N] mono float; returns x + scaled noise."""
+    """x [B, L]; noise_bank [N] mono float; returns x + scaled noise.
+    band_power: optional |H(f)|^2 weight for the SNR volume measurement
+    (snr_only_in_f_range)."""
     B, L = x.shape
     kidx, ksnr = jax.random.split(key)
     starts = jax.random.randint(kidx, (B,), 0, noise_bank.shape[0] - L)
     noise = jax.vmap(
         lambda s: jax.lax.dynamic_slice_in_dim(noise_bank, s, L)
     )(starts)
-    eps = 1e-12
-    vol_x = jnp.sqrt(jnp.clip(jnp.mean(x * x, axis=1), min=eps))
-    vol_n = jnp.sqrt(jnp.clip(jnp.mean(noise * noise, axis=1), min=eps))
+    vol_x = _weighted_rms(x, band_power)
+    vol_n = _weighted_rms(noise, band_power)
     snr = jax.random.uniform(ksnr, (B,), minval=snr_min, maxval=snr_max)
     ratio = vol_x / vol_n * 10.0 ** (-snr / 20.0)
     return x + ratio[:, None] * noise
@@ -81,6 +133,7 @@ def make_augment_fn(
     segment_size: int,
     snr_min: float,
     snr_max: float,
+    band_power: jnp.ndarray | None = None,
 ):
     """Returns jitted fn(key, x_org [B, seg], x_aug [B, pad+seg],
     augmented: bool static) -> mel specs [B, 2 or 1, F, T].
@@ -93,7 +146,10 @@ def make_augment_fn(
         if augmented:
             if noise_bank is not None:
                 key, k1 = jax.random.split(key)
-                x_aug = add_noises(k1, x_aug, noise_bank, snr_min, snr_max)
+                x_aug = add_noises(
+                    k1, x_aug, noise_bank, snr_min, snr_max,
+                    band_power=band_power,
+                )
             if air_spectra is not None or mic_spectra is not None:
                 key, k2 = jax.random.split(key)
                 x_aug = ir_convolve(k2, x_aug, air_spectra, mic_spectra, fftconv_n)

@@ -195,3 +195,76 @@ def test_train_on_real_pipeline(pipeline_root, tmp_path):
     params = trainer.fit(train_loader, val_loader)
     assert params is not None
     assert os.path.exists(os.path.join(cfg["model_dir"], "model.msgpack"))
+
+
+def test_bass_shelf_response_matches_scipy():
+    """|H|^2 from the analytic biquad evaluation must match
+    scipy.signal.freqz of the same coefficients."""
+    from scipy.signal import freqz
+
+    from pfann_tpu.ops.augment import bass_shelf_power_response
+
+    sr, fc, gain, q = 8000, 300.0, -24.0, 0.707
+    L = 512
+    resp = bass_shelf_power_response(L, sr, gain, fc, q)
+    # rebuild coefficients identically and compare via freqz
+    a = 10.0 ** (gain / 40.0)
+    w0 = 2 * np.pi * fc / sr
+    alpha = np.sin(w0) / (2 * q)
+    cs = np.cos(w0)
+    sq = 2 * np.sqrt(a) * alpha
+    b = [a * ((a + 1) - (a - 1) * cs + sq), 2 * a * ((a - 1) - (a + 1) * cs),
+         a * ((a + 1) - (a - 1) * cs - sq)]
+    den = [(a + 1) + (a - 1) * cs + sq, -2 * ((a - 1) + (a + 1) * cs),
+           (a + 1) + (a - 1) * cs - sq]
+    w, h = freqz(b, den, worN=np.linspace(0, np.pi, L // 2 + 1))
+    np.testing.assert_allclose(resp, np.abs(h) ** 2, rtol=1e-5)
+    # shelf shape: strong attenuation below fc, ~unity near Nyquist
+    freqs = np.linspace(0, sr / 2, L // 2 + 1)
+    assert resp[freqs < 100].max() < 0.01
+    assert abs(resp[-1] - 1.0) < 0.05
+
+
+def test_weighted_rms_matches_time_domain_filtering():
+    from scipy.signal import lfilter
+
+    from pfann_tpu.ops.augment import _weighted_rms, bass_shelf_power_response
+
+    rng = np.random.default_rng(0)
+    sr, fc, L = 8000, 300.0, 4096
+    x = rng.standard_normal((3, L)).astype(np.float32)
+    resp = bass_shelf_power_response(L, sr, -24.0, fc)
+    ours = np.asarray(_weighted_rms(jnp.asarray(x), jnp.asarray(resp)))
+    a = 10.0 ** (-24.0 / 40.0)
+    w0 = 2 * np.pi * fc / sr
+    alpha = np.sin(w0) / (2 * 0.707)
+    cs, sq = np.cos(w0), 2 * np.sqrt(a) * alpha
+    b = [a * ((a + 1) - (a - 1) * cs + sq), 2 * a * ((a - 1) - (a + 1) * cs),
+         a * ((a + 1) - (a - 1) * cs - sq)]
+    den = [(a + 1) + (a - 1) * cs + sq, -2 * ((a - 1) + (a + 1) * cs),
+           (a + 1) + (a - 1) * cs - sq]
+    filtered = lfilter(np.asarray(b) / den[0], np.asarray(den) / den[0], x, axis=1)
+    ref = np.sqrt((filtered**2).mean(axis=1))
+    # spectral weighting is circular vs lfilter's transient: loose tol
+    np.testing.assert_allclose(ours, ref, rtol=0.05)
+
+
+def test_uniform_time_shift_mode(pipeline_root):
+    from pfann_tpu.data.segments import SegmentedDataLoader
+
+    cfg = dict(pipeline_root, time_shift_type="uniform")
+    loader = SegmentedDataLoader("train", cfg, num_workers=2)
+    loader.set_epoch(0)
+    x = np.asarray(next(iter(loader)))
+    assert x.shape[1] == 2 and np.isfinite(x).all()
+
+
+def test_snr_only_in_f_range(pipeline_root):
+    from pfann_tpu.data.segments import SegmentedDataLoader
+
+    cfg = dict(pipeline_root)
+    cfg["noise"] = dict(cfg["noise"], snr_only_in_f_range=True)
+    loader = SegmentedDataLoader("train", cfg, num_workers=2)
+    loader.set_epoch(0)
+    x = np.asarray(next(iter(loader)))
+    assert np.isfinite(x).all()
