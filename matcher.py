@@ -2,12 +2,17 @@
 """Recognize queries against a fingerprint database.
 
 CLI parity with reference matcher.py:28-168:
-    python matcher.py <query list> <database dir> <result file>
+    python matcher.py <query list> <database dir> <result file> [batch]
 
 Outputs (readme.md:123-184 contract):
   <result>             TSV: query path \t answer path
   <result stem>_detail.csv: query, answer, score, time
   <result>.bin         per-query [n_songs, 2] float32 (score, time) blocks
+
+Unlike the reference (one query at a time, database.py:111), queries are
+batched through the device engine — decode in worker threads, embeddings
+and retrieval in batches — which is where the TPU's throughput comes from
+(see bench.py).  Output files are written in list order regardless.
 """
 
 import csv
@@ -28,14 +33,14 @@ from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config
 
 
 def main() -> None:
-    logger_init = MultiProcessInitLogger("nnmatcher")
-    logger_init()
+    MultiProcessInitLogger("nnmatcher")()
     logger = get_logger()
 
     if len(sys.argv) < 4:
         print("Usage: python %s <query list> <database dir> <result file>" % sys.argv[0])
         sys.exit()
     file_list_for_query, dir_for_db, result_file = sys.argv[1:4]
+    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     result_file2 = os.path.splitext(result_file)[0] + "_detail.csv"
     result_file_score = result_file + ".bin"
     params = read_config(os.path.join(dir_for_db, "configs.json"))
@@ -58,10 +63,28 @@ def main() -> None:
     ) as fout2, open(result_file_score, "wb") as fout_score:
         detail_writer = csv.writer(fout2)
         detail_writer.writerow(["query", "answer", "score", "time", "part_scores"])
-        for i, name, wav in dataset:
+
+        pending: list[tuple[str, np.ndarray]] = []
+
+        def flush():
+            nonlocal pending
+            if not pending:
+                return
+            embs = [e for _, e in pending]
+            results = db.query_embeddings_batch(embs)
+            for (name, _), (sco, (ans_id, tim), song_score) in zip(pending, results):
+                ans = db.songList[ans_id] if ans_id >= 0 else "error"
+                fout.write("%s\t%s\n" % (name, ans))
+                detail_writer.writerow([name, ans, sco, tim])
+                fout_score.write(song_score.tobytes())
+            fout.flush()
+            fout2.flush()
+            pending = []
+
+        for i, name, wav in dataset.iterate(num_workers=4):
             logger.info("get query %s", name)
-            tm_1 = time.time()
             if wav.shape[0] == 0:
+                flush()  # keep output order
                 logger.error("load %s error!", name)
                 fout.write("%s\t%s\n" % (name, "error"))
                 fout.flush()
@@ -72,18 +95,15 @@ def main() -> None:
                 )
                 continue
 
+            tm_1 = time.time()
             embeddings = embedder.embed(wav)
-            tm_2 = time.time()
-            logger.info("compute embedding %.6fs", tm_2 - tm_1)
-
-            sco, (ans_id, tim), song_score = db.query_embeddings(embeddings)
-            ans = db.songList[ans_id] if ans_id >= 0 else "error"
-
-            fout.write("%s\t%s\n" % (name, ans))
-            fout.flush()
-            detail_writer.writerow([name, ans, sco, tim])
-            fout2.flush()
-            fout_score.write(song_score.tobytes())
+            logger.info("compute embedding %.6fs", time.time() - tm_1)
+            pending.append((name, embeddings))
+            if len(pending) >= batch:
+                tm_1 = time.time()
+                flush()
+                logger.info("search %.6fs rerank 0.000000s", time.time() - tm_1)
+        flush()
     logger.info("total query time %.6fs", time.time() - tm_0)
 
 

@@ -1,0 +1,145 @@
+"""Offline tools: accuracy, mirexacc, stat, traintestsplit, csv2txt,
+filterduration, extractscore/svm ensemble round trip."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, os.path.join(REPO, "ensemble"))
+
+
+def test_stat_aggregation(tmp_path):
+    # tools/stat.py clashes with stdlib `stat` — load by path
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pfann_stat", os.path.join(REPO, "tools", "stat.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    aggregate = mod.aggregate
+
+    log = tmp_path / "x.log"
+    log.write_text(
+        "[t] [p/INFO] search 0.100000s\n"
+        "[t] [p/INFO] search 0.200000s\n"
+        "[t] [p/INFO] compute embedding 0.500000s\n"
+        "garbage line\n"
+    )
+    totals = aggregate(str(log))
+    assert abs(totals["search"] - 0.3) < 1e-9
+    assert abs(totals["compute embedding"] - 0.5) < 1e-9
+
+
+def test_traintestsplit(tmp_path):
+    src = tmp_path / "all.csv"
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file"])
+        w.writerows([["s%02d.wav" % i] for i in range(20)])
+    out_train = tmp_path / "train.csv"
+    out_test = tmp_path / "test.csv"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "traintestsplit.py"),
+         "--csv", str(src), "--train-size", "12",
+         "--train", str(out_train), "--test", str(out_test)],
+        check=True, cwd=REPO,
+    )
+    tr = [r[0] for r in list(csv.reader(open(out_train)))[1:]]
+    te = [r[0] for r in list(csv.reader(open(out_test)))[1:]]
+    assert len(tr) == 12 and len(te) == 8
+    assert not set(tr) & set(te)
+
+
+def test_csv2txt_and_filterduration(tmp_path):
+    src = tmp_path / "list.csv"
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file", "duration"])
+        w.writerows([["a.wav", "10.0"], ["b.wav", "45.0"], ["c.wav", "31.0"]])
+    out = tmp_path / "filtered.csv"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "filterduration.py"),
+         "--csv", str(src), "--min-len", "29.9", "--out", str(out)],
+        check=True, cwd=REPO,
+    )
+    rows = list(csv.reader(open(out)))[1:]
+    assert [r[0] for r in rows] == ["b.wav", "c.wav"]
+
+    txt = tmp_path / "list.txt"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "csv2txt.py"),
+         str(src), "--dir", str(tmp_path), "--out", str(txt)],
+        check=True, cwd=REPO,
+    )
+    lines = open(txt).read().splitlines()
+    assert len(lines) == 3 and lines[0].endswith("a.wav") and os.path.isabs(lines[0])
+
+
+def test_mirexacc(tmp_path):
+    gt = tmp_path / "gt.txt"
+    gt.write_text("q1.wav\tsongA\nq2.wav\tsongB\nq3.wav\tsongC\n")
+    pred = tmp_path / "pred_detail.csv"
+    with open(pred, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query", "answer", "score", "time"])
+        w.writerows([
+            ["q1.wav", "songA", "0.9", "0"],
+            ["q2.wav", "songX", "0.2", "0"],
+            ["q3.wav", "songC", "0.8", "0"],
+        ])
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "mirexacc.py"),
+         str(gt), str(pred)],
+        check=True, cwd=REPO, capture_output=True, text=True,
+    )
+    assert "song correct 2 acc 66.67" in r.stdout
+    assert "threshold" in r.stdout
+
+
+def test_ensemble_roundtrip(tmp_path):
+    """extractscore -> svmtrain (tiny grid) -> svmval flows end to end."""
+    n_songs, n_q = 4, 12
+    songlist = tmp_path / "songList.txt"
+    songlist.write_text("".join("song%d.wav\n" % i for i in range(n_songs)))
+    rng = np.random.default_rng(0)
+
+    def write_run(prefix, dtype, col):
+        pred = tmp_path / (prefix + ".txt")
+        gt_rows, pred_rows = [], []
+        bins = np.zeros((n_q, n_songs, 2), dtype=dtype)
+        with open(pred, "w") as f:
+            for q in range(n_q):
+                true = q % n_songs
+                ans = true if rng.random() > 0.3 else (true + 1) % n_songs
+                f.write("q%d.wav\tsong%d.wav\n" % (q, ans))
+                bins[q, ans, col] = rng.random() * 100
+                gt_rows.append("q%d.wav\tsong%d.wav" % (q, true))
+        bins.tofile(str(pred) + ".bin")
+        return pred, gt_rows
+
+    pred_nn, gt_rows = write_run("nn", np.float32, 0)
+    pred_lm, _ = write_run("lm", np.int32, 1)
+    gt = tmp_path / "gt.txt"
+    gt.write_text("\n".join(gt_rows) + "\n")
+
+    from extractscore import main as _  # noqa: F401  (import check)
+
+    for script, pred, out in (
+        ("extractscore.py", pred_nn, "nn.npy"),
+        ("lmscore.py", pred_lm, "lm.npy"),
+    ):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "ensemble", script),
+             str(songlist), str(gt), str(pred), str(tmp_path / out)],
+            check=True, cwd=REPO,
+        )
+    nn = np.load(tmp_path / "nn.npy")
+    lm = np.load(tmp_path / "lm.npy")
+    assert nn.shape == (n_q, 2) and lm.shape == (n_q, 2)
+    assert set(np.unique(nn[:, 1])) <= {0.0, 1.0}
