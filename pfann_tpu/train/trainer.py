@@ -176,7 +176,9 @@ class Trainer:
         losses = []
         base_key = jax.random.fold_in(jax.random.key(seed), epoch)
         t0 = time.time()
-        for step, x in enumerate(loader):
+        from pfann_tpu.data.prefetch import prefetch
+
+        for step, x in enumerate(prefetch(iter(loader))):
             x = jnp.asarray(x)  # no-op for device-resident loader outputs
             x = x.reshape((-1,) + x.shape[2:])  # flatten pairs (train.py:80)
             key = jax.random.fold_in(base_key, step)

@@ -1,105 +1,86 @@
 #!/bin/bash
-# Orchestrate build -> match -> accuracy per model/dataset.
-# Parity: reference testall.sh.
-#   ./testall.sh <model> <dataset> -build -match_snr -accuracy_snr ...
-# model is one of: baseline shuffle_1000 shuffle_100 shuffle_10 shuffle_1 ...
-# dataset is one of: inside out1 out2 mirex
+# Orchestrate build -> match -> accuracy per model/dataset (the reference's
+# evaluation harness contract):
+#   ./testall.sh <model> <dataset> [-build] [-match] [-accuracy]
+#                [-match_snr] [-accuracy_snr] [-match_snr_full] [-accuracy_snr_full]
+# model:   baseline | shuffle_1000 | ... (any out/models/<model> dir; lm* = landmark system)
+# dataset: inside | out1 | out2 | mirex
+set -u
 
-builder() {
-  # model dataset
-  case $2 in
-    inside) list=lists/fma_medium_train.txt;;
-    out1)   list=lists/fma_out1.txt;;
-    out2)   list=lists/fma_out2.txt;;
-    mirex)  list=lists/mirex-db.txt;;
-    *) echo "$2 is not a supported dataset"; exit 2;;
-  esac
-  python builder.py $list out/dbs/$1_$2 out/models/$1
+MODEL="$1"; DATASET="$2"; shift 2
+SNRS="-6 -4 -2 0 2 4 6 8"
+
+db_list() {
+  declare -A lists=(
+    [inside]=lists/fma_medium_train.txt
+    [out1]=lists/fma_out1.txt
+    [out2]=lists/fma_out2.txt
+    [mirex]=lists/mirex-db.txt
+  )
+  if [[ -z "${lists[$DATASET]:-}" ]]; then
+    echo "$DATASET is not a supported dataset" >&2
+    exit 2
+  fi
+  echo "${lists[$DATASET]}"
 }
 
-matcher() {
-  # model dataset
-  if [[ $1 =~ ^lm ]]; then
-    prog=../pfa/matcher
-  else
-    prog="python matcher.py"
-  fi
-  if [ "$2" == mirex ]; then
-    $prog lists/mirex-query.txt out/dbs/$1_$2 out/results/$1_$2.txt
-  else
-    $prog out/queries/$2/list.txt out/dbs/$1_$2 out/results/$1_$2.txt
-  fi
+match_prog() {
+  # landmark-system models are matched by the external ../pfa matcher
+  [[ "$MODEL" == lm* ]] && echo "../pfa/matcher" || echo "python matcher.py"
 }
 
-matcher_snr() {
-  # model dataset snr
-  if [[ $1 =~ ^lm ]]; then
-    prog=../pfa/matcher
-  else
-    prog="python matcher.py"
-  fi
-  $prog out/queries/$2_snr$3/list.txt out/dbs/$1_$2 out/results/$1_$2_snr$3.txt
+run_match() {   # $1 = query list, $2 = result path
+  $(match_prog) "$1" "out/dbs/${MODEL}_$3" "$2"
 }
 
-matcher_snr_full() {
-  # model dataset snr — match the per-SNR queries against the big DB
-  if [[ $1 =~ ^lm ]]; then
-    prog=../pfa/matcher
+run_accuracy() {  # $1 = expected csv, $2 = result path
+  if [[ "$MODEL" == lm* ]]; then
+    python tools/accuracy.py "$1" "$2.csv"
   else
-    prog="python matcher.py"
-  fi
-  $prog out/queries/$2_snr$3/list.txt out/dbs/$1_full out/results/$1_$2_full_snr$3.txt
-}
-
-accuracy() {
-  # model dataset
-  if [ "$2" == mirex ]; then
-    python tools/mirexacc.py lists/mirex-answer.txt out/results/$1_$2.txt
-  else
-    python tools/accuracy.py out/queries/$2/expected.csv out/results/$1_$2_detail.csv
+    python tools/accuracy.py "$1" "${2%.txt}_detail.csv"
   fi
 }
 
-accuracy_snr() {
-  echo snr=$3
-  if [[ $1 =~ ^lm ]]; then
-    python tools/accuracy.py out/queries/$2_snr$3/expected.csv out/results/$1_$2_snr$3.txt.csv
-  else
-    python tools/accuracy.py out/queries/$2_snr$3/expected.csv out/results/$1_$2_snr$3_detail.csv
-  fi
-}
-
-accuracy_snr_full() {
-  echo snr=$3
-  if [[ $1 =~ ^lm ]]; then
-    python tools/accuracy.py out/queries/$2_snr$3/expected.csv out/results/$1_$2_full_snr$3.txt.csv
-  else
-    python tools/accuracy.py out/queries/$2_snr$3/expected.csv out/results/$1_$2_full_snr$3_detail.csv
-  fi
-}
-
-forall_snr() {
-  # some_command model dataset
-  for snr in -6 -4 -2 0 2 4 6 8
-  do
-    $1 $2 $3 $snr
-  done
-}
-
-model="$1"
-dataset="$2"
-shift 2
-while [[ $# -gt 0 ]]
-do
-  action="$1"
-  shift
+for action in "$@"; do
   case "$action" in
-    "-build" )           builder $model $dataset || exit 1;;
-    "-match_snr" )       forall_snr matcher_snr $model $dataset || exit 1;;
-    "-accuracy_snr" )    forall_snr accuracy_snr $model $dataset || exit 1;;
-    "-match_snr_full" )  forall_snr matcher_snr_full $model $dataset || exit 1;;
-    "-accuracy_snr_full" ) forall_snr accuracy_snr_full $model $dataset || exit 1;;
-    "-match" )           matcher $model $dataset || exit 1;;
-    "-accuracy" )        accuracy $model $dataset || exit 1;;
+    -build)
+      python builder.py "$(db_list)" "out/dbs/${MODEL}_${DATASET}" \
+        "out/models/${MODEL}" || exit 1;;
+    -match)
+      if [[ "$DATASET" == mirex ]]; then
+        run_match lists/mirex-query.txt "out/results/${MODEL}_${DATASET}.txt" "$DATASET" || exit 1
+      else
+        run_match "out/queries/${DATASET}/list.txt" "out/results/${MODEL}_${DATASET}.txt" "$DATASET" || exit 1
+      fi;;
+    -accuracy)
+      if [[ "$DATASET" == mirex ]]; then
+        python tools/mirexacc.py lists/mirex-answer.txt "out/results/${MODEL}_${DATASET}.txt" || exit 1
+      else
+        run_accuracy "out/queries/${DATASET}/expected.csv" "out/results/${MODEL}_${DATASET}.txt" || exit 1
+      fi;;
+    -match_snr)
+      for snr in $SNRS; do
+        run_match "out/queries/${DATASET}_snr${snr}/list.txt" \
+          "out/results/${MODEL}_${DATASET}_snr${snr}.txt" "$DATASET" || exit 1
+      done;;
+    -accuracy_snr)
+      for snr in $SNRS; do
+        echo "snr=$snr"
+        run_accuracy "out/queries/${DATASET}_snr${snr}/expected.csv" \
+          "out/results/${MODEL}_${DATASET}_snr${snr}.txt" || exit 1
+      done;;
+    -match_snr_full)
+      for snr in $SNRS; do
+        $(match_prog) "out/queries/${DATASET}_snr${snr}/list.txt" \
+          "out/dbs/${MODEL}_full" \
+          "out/results/${MODEL}_${DATASET}_full_snr${snr}.txt" || exit 1
+      done;;
+    -accuracy_snr_full)
+      for snr in $SNRS; do
+        echo "snr=$snr"
+        run_accuracy "out/queries/${DATASET}_snr${snr}/expected.csv" \
+          "out/results/${MODEL}_${DATASET}_full_snr${snr}.txt" || exit 1
+      done;;
+    *) echo "unknown action $action" >&2; exit 2;;
   esac
 done
