@@ -79,11 +79,16 @@ def main() -> None:
     # the sandbox TPU is a shared tunnel with heavy run-to-run contention
     # (identical code measures 2-5x apart); take the best of several
     # slope estimates as the uncontended throughput
+    import sys
+
     slopes = []
     for _ in range(5):
         t1 = run(5)
         t2 = run(30)
         slopes.append((t2 - t1) / 25)
+    print(
+        "slopes(ms): %s" % ["%.1f" % (s * 1000) for s in slopes], file=sys.stderr
+    )
     slope = min(slopes)
     qps = B / slope
 

@@ -151,3 +151,34 @@ def test_align_database_batch_matches_single(tmp_path):
         assert s[1][0] == b[1][0]
         np.testing.assert_allclose(s[0], b[0], rtol=1e-5)
         np.testing.assert_allclose(s[2], b[2], rtol=1e-5, atol=1e-6)
+
+
+def test_align_engine_fsm2_database(tmp_path):
+    """Database-level frame_shift_mul=2: align and topk engines agree on
+    the answer and on recorded song scores."""
+    rng = np.random.default_rng(7)
+    db, counts, song_pos = make_db(rng, n_songs=8, min_len=10, d=8)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(8)))
+    write_index_meta(dbdir, d=8)
+
+    # interleaved sub-hop query: rows alternate between two shifted
+    # sequences of song 5
+    base = db[song_pos[5] + 2 : song_pos[5] + 8]
+    query = np.repeat(base, 2, axis=0)
+    # perturb the odd rows (shift 1) so shift 0 wins uniquely — an exact
+    # repeat ties both shifts at score 1.0 and tie-breaks differ
+    query[1::2] += 0.1 * rng.standard_normal(query[1::2].shape).astype(np.float32)
+    common = {"top_k": 8, "backend": "exact", "db_dtype": "float32",
+              "frame_shift_mul": 2}
+    d_align = Database(dbdir, dict(common, engine="align"), hop_size=0.5)
+    d_topk = Database(dbdir, dict(common, engine="topk"), hop_size=0.5)
+    ba, (sa, ta), tab_a = d_align.query_embeddings(query)
+    bt, (st, tt), tab_t = d_topk.query_embeddings(query)
+    assert sa == st == 5
+    assert ta == pytest.approx(tt)
+    np.testing.assert_allclose(ba, bt, rtol=1e-4)
