@@ -143,6 +143,14 @@ def _reduce_per_song(align: jnp.ndarray, n_songs: int, R: int, B: int):
     return jnp.transpose(song_best), jnp.transpose(song_argoff).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _top1(best: jnp.ndarray, argoff: jnp.ndarray, pad: int):
+    """best/argoff [B, n_songs] -> (song [B], score_sum [B], t [B])."""
+    song = jnp.argmax(best, axis=1)
+    take = jax.vmap(lambda b, o, s: (b[s], o[s]))(best, argoff, song)
+    return song.astype(jnp.int32), take[0], (take[1] - pad).astype(jnp.float32)
+
+
 class AlignmentEngine:
     """Host wrapper: uniform padded layout + per-shift filter construction
     + time mapping.  One instance per loaded database (single device)."""
@@ -208,6 +216,16 @@ class AlignmentEngine:
                     impl=self.impl,
                 )
             )
+        return outs
+
+    def search_top1_device(self, filters) -> list:
+        """Serving fast path: per query only (best_song, best_score_sum,
+        best_t) leave the device — the full per-song table (query_
+        embeddings' song_score output) stays on-chip.  Returns a list of
+        device-array triples per max_batch chunk."""
+        outs = []
+        for best, argoff in self.search_device(filters):
+            outs.append(_top1(best, argoff, self.pad))
         return outs
 
     def search(

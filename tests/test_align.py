@@ -182,3 +182,19 @@ def test_align_engine_fsm2_database(tmp_path):
     assert sa == st == 5
     assert ta == pytest.approx(tt)
     np.testing.assert_allclose(ba, bt, rtol=1e-4)
+
+
+def test_top1_device_matches_host_finalize():
+    rng = np.random.default_rng(8)
+    db, counts, song_pos = make_db(rng, n_songs=9)
+    engine = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32)
+    filters = np.zeros((3, 5, 16), np.float32)
+    for i, song in enumerate((2, 6, 8)):
+        filters[i] = db[song_pos[song] + 1 : song_pos[song] + 6]
+    (out,) = engine.search_top1_device(filters)
+    song, sco_sum, t = (np.asarray(o) for o in out)
+    score, t_host = engine.search(filters, np.full(3, 5, np.int32))
+    for i, s in enumerate((2, 6, 8)):
+        assert song[i] == s == int(np.argmax(score[i]))
+        np.testing.assert_allclose(sco_sum[i] / 5, score[i, s], rtol=1e-5)
+        assert t[i] == t_host[i, s] == 1
