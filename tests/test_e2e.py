@@ -241,3 +241,40 @@ def test_matcher_end_to_end(db_and_model, corpus, tmp_path):
     assert r["total"] == 6
     assert r["song_acc"] == 100.0
     assert r["exact_acc"] == 100.0
+
+
+def test_extractemb_matchemb_pipeline(db_and_model, corpus, tmp_path):
+    """extractemb -> matchemb produces the same answers as matcher."""
+    cfg, db_dir = db_and_model
+    rng = np.random.default_rng(21)
+    queries, answers = [], []
+    for qi in range(4):
+        song_id = int(rng.integers(0, len(corpus)))
+        path, wav = corpus[song_id]
+        start = int(rng.integers(0, len(wav) - 2 * 8000) // 4000 * 4000)
+        qpath = str(tmp_path / f"e{qi}.wav")
+        write_wav(qpath, wav[start : start + 2 * 8000], 8000)
+        queries.append(qpath)
+        answers.append(path)
+    qlist = str(tmp_path / "qlist.txt")
+    with open(qlist, "w") as f:
+        f.writelines(q + "\n" for q in queries)
+
+    emb_dir = str(tmp_path / "embs")
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "extractemb.py"), qlist, db_dir, emb_dir],
+        check=True, env=env, cwd=REPO,
+    )
+    for name in ("query_embeddings", "query_index", "queryList.txt", "configs.json"):
+        assert os.path.exists(os.path.join(emb_dir, name)), name
+    idx = np.fromfile(os.path.join(emb_dir, "query_index"), dtype=np.int64).reshape(-1, 2)
+    assert idx.shape == (4, 2) and (idx[:, 1] == 3).all()  # 2 s -> 3 segments
+
+    result = str(tmp_path / "memb.txt")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "matchemb.py"), emb_dir, db_dir, result],
+        check=True, env=env, cwd=REPO,
+    )
+    got = [line.split("\t")[1].strip() for line in open(result)]
+    assert got == answers
