@@ -33,36 +33,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 32   # max supported windows per query filter; == layout PAD
-LANE_B = 128  # queries per kernel call — one full lane group per window row
+LANE = 128    # queries per lane group (hardware lane width)
+LANE_B = 256  # queries per kernel call (LANE-multiples; 2 lane groups
+              # amortize the db-block read: measured 128q 21-30 ms vs
+              # 256q 24 ms per call on v5e)
 PALLAS_G = 8  # song regions per grid step (>=8: output block sublane
-              # constraint; VMEM budget: (G*R + HALO) x S*128 f32 scores)
+              # constraint; VMEM budget scales with G*R rows)
 
 
-def _align_reduce_kernel(S: int, G: int, R: int, db_ref, q_ref, best_ref, off_ref):
+def _align_reduce_kernel(S: int, G: int, R: int, B: int, db_ref, q_ref,
+                         best_ref, off_ref):
     rows = G * R
     d = db_ref.shape[1]
     x = jnp.concatenate(
         [db_ref[:], jnp.zeros((HALO, d), db_ref.dtype)], axis=0
     )  # [rows + HALO, d]
-    # One small matmul per window row, accumulated immediately: peak VMEM
-    # stays ~2 MB (a monolithic x @ qmat would hold a (rows, S*128) f32
-    # score tile — 12+ MB — which serialized the pipeline: 243 ms vs 37 ms
-    # per 128-query batch at G=8 on v5e).
-    acc = jnp.dot(x[0:rows], q_ref[:, 0:LANE_B], preferred_element_type=jnp.float32)
-    for i in range(1, S):
-        acc = acc + jnp.dot(
-            x[i : rows + i],
-            q_ref[:, i * LANE_B : (i + 1) * LANE_B],
+    bests, argoffs = [], []
+    for lg in range(B // LANE):
+        # One small matmul per window row, accumulated immediately: peak
+        # VMEM stays ~2 MB per lane group (a monolithic x @ qmat holds a
+        # (rows, S*B) f32 score tile — 12+ MB — which serialized the
+        # pipeline: 243 ms vs 37 ms per 128-query batch at G=8 on v5e).
+        acc = jnp.dot(
+            x[0:rows], q_ref[:, lg * LANE : lg * LANE + LANE],
             preferred_element_type=jnp.float32,
         )
-    a3 = acc.reshape(G, R, LANE_B)
-    best = jnp.max(a3, axis=1)                                   # [G, B]
-    offs = jax.lax.broadcasted_iota(jnp.int32, a3.shape, 1)
-    argoff = jnp.max(
-        jnp.where(a3 >= best[:, None, :], offs, -1), axis=1
-    )
-    best_ref[:] = best
-    off_ref[:] = argoff
+        for i in range(1, S):
+            col = i * B + lg * LANE
+            acc = acc + jnp.dot(
+                x[i : rows + i], q_ref[:, col : col + LANE],
+                preferred_element_type=jnp.float32,
+            )
+        a3 = acc.reshape(G, R, LANE)
+        best = jnp.max(a3, axis=1)                               # [G, LANE]
+        offs = jax.lax.broadcasted_iota(jnp.int32, a3.shape, 1)
+        argoffs.append(jnp.max(jnp.where(a3 >= best[:, None, :], offs, -1), axis=1))
+        bests.append(best)
+    best_ref[:] = jnp.concatenate(bests, axis=1)
+    off_ref[:] = jnp.concatenate(argoffs, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "R", "G"))
@@ -75,31 +83,32 @@ def pallas_alignment_reduce(
     Returns (best [n_songs_padded, LANE_B] f32 summed alignment,
     argoff [n_songs_padded, LANE_B] int32 window offset in the region)."""
     N, d = db.shape
-    assert qmat.shape[1] == S * LANE_B, (qmat.shape, S)
+    B = qmat.shape[1] // S
+    assert B % LANE == 0, (qmat.shape, S)
     assert S <= HALO + 1
     assert N % (G * R) == 0, (N, G, R)
     ng = N // (G * R)
 
-    kernel = functools.partial(_align_reduce_kernel, S, G, R)
+    kernel = functools.partial(_align_reduce_kernel, S, G, R, B)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((ng * G, LANE_B), jnp.float32),
-            jax.ShapeDtypeStruct((ng * G, LANE_B), jnp.int32),
+            jax.ShapeDtypeStruct((ng * G, B), jnp.float32),
+            jax.ShapeDtypeStruct((ng * G, B), jnp.int32),
         ),
         grid=(ng,),
         in_specs=[
             pl.BlockSpec((G * R, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (d, S * LANE_B), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (d, S * B), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
-            pl.BlockSpec((G, LANE_B), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, LANE_B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * d * S * LANE_B,
+            flops=2 * N * d * S * B,
             bytes_accessed=N * d * db.dtype.itemsize,
             transcendentals=0,
         ),
