@@ -268,3 +268,46 @@ def test_snr_only_in_f_range(pipeline_root):
     loader.set_epoch(0)
     x = np.asarray(next(iter(loader)))
     assert np.isfinite(x).all()
+
+
+def test_genquery_cli(pipeline_root, tmp_path):
+    """genquery.py generates deterministic noisy queries + ground truth."""
+    import json
+    import subprocess
+    import sys
+
+    from pfann_tpu.audio.io import get_audio
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = dict(pipeline_root, test_csv=pipeline_root["train_csv"])
+    cfg_path = str(tmp_path / "gen.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    out = str(tmp_path / "queries")
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+    cmd = [sys.executable, os.path.join(REPO, "genquery.py"),
+           "-p", cfg_path, "-l", "2", "--num", "3", "--mode", "test",
+           "-o", out, "--yes"]
+    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+
+    rows = list(csv.reader(open(os.path.join(out, "expected.csv"))))
+    assert rows[0] == ["query", "answer", "time", "snr", "reverb"]
+    assert len(rows) == 4
+    paths = open(os.path.join(out, "list.txt")).read().splitlines()
+    assert len(paths) == 3
+    for p in paths:
+        wav, rate = get_audio(p)
+        assert rate == 8000 and wav.shape[1] == 2 * 8000
+        assert np.abs(wav).max() <= 1.0
+    assert os.path.exists(os.path.join(out, "configs.json"))
+
+    # determinism: regenerating produces identical audio (seed 9000+idx)
+    out2 = str(tmp_path / "queries2")
+    cmd2 = [sys.executable, os.path.join(REPO, "genquery.py"),
+            "-p", cfg_path, "-l", "2", "--num", "3", "--mode", "test",
+            "-o", out2, "--yes"]
+    subprocess.run(cmd2, check=True, env=env, cwd=REPO)
+    a, _ = get_audio(paths[0])
+    b, _ = get_audio(os.path.join(out2, os.path.basename(paths[0])))
+    np.testing.assert_array_equal(a, b)
