@@ -124,7 +124,17 @@ class Database:
         self._emb_host = emb
         self._db = None  # raw matrix uploaded lazily (topk path only)
         self._song_pos = None
-        if engine == "align":
+        self._sharded = None
+        if engine == "align" and self.params.get("sharded", False) and jax.device_count() > 1:
+            # song-sharded retrieval over all local devices (ICI mesh)
+            from pfann_tpu.parallel.mesh import make_mesh
+            from pfann_tpu.parallel.sharded_search import ShardedDatabase
+
+            self._sharded = ShardedDatabase(
+                emb, counts, make_mesh("db"), engine="align",
+                db_dtype=np_dtype,
+            )
+        elif engine == "align":
             from pfann_tpu.index.align import AlignmentEngine
 
             self._align = AlignmentEngine(
@@ -174,7 +184,11 @@ class Database:
         if self.engine != "align":
             return False
         sub_len = -(-n_rows // self.frame_shift_mul)
-        return sub_len <= self._align.max_query_windows()
+        max_windows = (
+            self._sharded.pad if self._sharded is not None
+            else self._align.max_query_windows()
+        )
+        return sub_len <= max_windows
 
     def _query_align_batch(self, queries):
         """Exhaustive alignment for a batch of queries; returns
@@ -183,16 +197,21 @@ class Database:
         from pfann_tpu.index.align import queries_to_filters
 
         fsm = self.frame_shift_mul
-        filters, sub_lens = [], []
-        for q in queries:
-            f, sl, _ = queries_to_filters(q, fsm, self._align.max_query_windows())
-            filters.append(f)
-            sub_lens.append(sl)
-        S_max = max(f.shape[1] for f in filters)
-        allf = np.zeros((len(queries) * fsm, S_max, self.d), np.float32)
-        for i, f in enumerate(filters):
-            allf[i * fsm : (i + 1) * fsm, : f.shape[1]] = f
-        score, t = self._align.search(allf, np.concatenate(sub_lens))
+        if self._sharded is not None:
+            max_w = self._sharded.pad
+            filt_list = [q[s::fsm][:max_w] for q in queries for s in range(fsm)]
+            score, t = self._sharded.query_batch(filt_list)
+        else:
+            filters, sub_lens = [], []
+            for q in queries:
+                f, sl, _ = queries_to_filters(q, fsm, self._align.max_query_windows())
+                filters.append(f)
+                sub_lens.append(sl)
+            S_max = max(f.shape[1] for f in filters)
+            allf = np.zeros((len(queries) * fsm, S_max, self.d), np.float32)
+            for i, f in enumerate(filters):
+                allf[i * fsm : (i + 1) * fsm, : f.shape[1]] = f
+            score, t = self._align.search(allf, np.concatenate(sub_lens))
         score = score.reshape(len(queries), fsm, -1)
         t = t.reshape(len(queries), fsm, -1)
         shift = np.arange(fsm)[None, :, None]

@@ -148,3 +148,36 @@ def test_sharded_align_engine_matches_single_device():
         np.testing.assert_allclose(smax[0], s_score[0], rtol=1e-4, atol=1e-5)
         pos = s_score[0] > 1e-6
         np.testing.assert_allclose(stime[0][pos], s_t[0][pos], atol=0)
+
+
+def test_database_sharded_flag(tmp_path):
+    """Database with indexer 'sharded': true routes through the
+    mesh-sharded align engine and matches the single-device answers."""
+    from pfann_tpu.index.database import Database, write_index_meta
+
+    rng = np.random.default_rng(9)
+    db, counts, song_pos = make_db(rng, n_songs=10, d=8)
+    dbdir = str(tmp_path / "db")
+    import os
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(10)))
+    write_index_meta(dbdir, d=8)
+
+    common = {"top_k": 5, "db_dtype": "float32", "engine": "align"}
+    d_sharded = Database(dbdir, dict(common, sharded=True), hop_size=0.5)
+    d_single = Database(dbdir, common, hop_size=0.5)
+    assert d_sharded._sharded is not None
+
+    q1 = db[song_pos[3] + 1 : song_pos[3] + 7].copy()
+    q1 += 0.05 * rng.standard_normal(q1.shape).astype(np.float32)
+    q2 = db[song_pos[8] : song_pos[8] + 5]
+    for got, want in zip(
+        d_sharded.query_embeddings_batch([q1, q2]),
+        d_single.query_embeddings_batch([q1, q2]),
+    ):
+        assert got[1][0] == want[1][0]
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
+        np.testing.assert_allclose(got[2][:, 0], want[2][:, 0], rtol=1e-4, atol=1e-5)
