@@ -188,11 +188,20 @@ class SegmentedDataLoader:
 
         ds = self.dataset
         mel = build_mel_spec_layer(configs)
+        from pfann_tpu.ops.augment import complex_bank
+
+        # IR spectra travel as f32 real/imag pairs: complex arrays can't
+        # cross the host<->device boundary on some TPU runtimes
         noise_bank = (
             jnp.asarray(ds.noise.data) if ds.noise is not None else None
         )
-        air_spec = jnp.asarray(ds.air.data) if ds.air is not None else None
-        mic_spec = jnp.asarray(ds.micirp.data) if ds.micirp is not None else None
+        air_spec = (
+            jnp.asarray(complex_bank(ds.air.data)) if ds.air is not None else None
+        )
+        mic_spec = (
+            jnp.asarray(complex_bank(ds.micirp.data))
+            if ds.micirp is not None else None
+        )
         noise_cfg = configs.get("noise", {})
         band_power = None
         if noise_cfg.get("snr_only_in_f_range", False):

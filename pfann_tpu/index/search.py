@@ -156,7 +156,6 @@ def seq_rerank(
         num_segments=n_songs + 1,
     )[:n_songs]
     song_time = jnp.where(best_idx >= 0, cand_time[jnp.maximum(best_idx, 0)], 0.0)
-    song_max = jnp.where(jnp.isfinite(song_max), song_max, -jnp.inf)
     return song_max, song_time
 
 

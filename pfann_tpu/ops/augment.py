@@ -101,6 +101,19 @@ def add_noises(
     return x + ratio[:, None] * noise
 
 
+def complex_bank(spectra: np.ndarray) -> np.ndarray:
+    """np.complex64 [n, f] -> float32 [n, 2, f] (real, imag).
+
+    Complex arrays cannot cross the host<->device boundary on some TPU
+    runtimes (the sandbox's axon PJRT returns UNIMPLEMENTED), so IR banks
+    travel as real pairs and are recombined on device."""
+    return np.stack([spectra.real, spectra.imag], axis=1).astype(np.float32)
+
+
+def _as_complex(bank_ri: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.complex(bank_ri[:, 0], bank_ri[:, 1])
+
+
 def ir_convolve(
     key: jax.Array,
     x: jnp.ndarray,
@@ -110,15 +123,17 @@ def ir_convolve(
 ) -> jnp.ndarray:
     """Frequency-domain convolution with random room + mic IRs
     (dataset_v2.py:157-162).  x [B, L]; spectra [n, fftconv_n//2+1]
-    complex64.  Returns [B, fftconv_n] (caller crops)."""
+    complex64 or [n, 2, fftconv_n//2+1] float32 real/imag pairs.
+    Returns [B, fftconv_n] (caller crops)."""
     kair, kmic = jax.random.split(key)
     spec = jnp.fft.rfft(x, fftconv_n)
-    if air_spectra is not None:
-        idx = jax.random.randint(kair, (x.shape[0],), 0, air_spectra.shape[0])
-        spec = spec * air_spectra[idx]
-    if mic_spectra is not None:
-        idx = jax.random.randint(kmic, (x.shape[0],), 0, mic_spectra.shape[0])
-        spec = spec * mic_spectra[idx]
+    for k, bank in ((kair, air_spectra), (kmic, mic_spectra)):
+        if bank is None:
+            continue
+        if bank.ndim == 3:  # real/imag pair layout
+            bank = _as_complex(bank)
+        idx = jax.random.randint(k, (x.shape[0],), 0, bank.shape[0])
+        spec = spec * bank[idx]
     return jnp.fft.irfft(spec, fftconv_n)
 
 
@@ -135,28 +150,37 @@ def make_augment_fn(
     snr_max: float,
     band_power: jnp.ndarray | None = None,
 ):
-    """Returns jitted fn(key, x_org [B, seg], x_aug [B, pad+seg],
-    augmented: bool static) -> mel specs [B, 2 or 1, F, T].
+    """Returns fn(key, x_org [B, seg], x_aug [B, pad+seg],
+    augmented: bool) -> mel specs [B, 2 or 1, F, T].
 
     Mirrors MusicSegmentDataset.__getitem__'s augment+mel tail
-    (dataset_v2.py:151-170) as one fused device program."""
+    (dataset_v2.py:151-170) as one fused device program.  The corpora
+    banks are passed as jit ARGUMENTS (not closures): closure-captured
+    device arrays get embedded as program constants, which both bloats the
+    executable and requires a device->host fetch at trace time."""
 
     @functools.partial(jax.jit, static_argnames=("augmented",))
-    def augment_fn(key, x_org, x_aug, augmented=True):
+    def _augment(key, x_org, x_aug, noise_b, air_s, mic_s, band_p,
+                 augmented=True):
         if augmented:
-            if noise_bank is not None:
+            if noise_b is not None:
                 key, k1 = jax.random.split(key)
                 x_aug = add_noises(
-                    k1, x_aug, noise_bank, snr_min, snr_max,
-                    band_power=band_power,
+                    k1, x_aug, noise_b, snr_min, snr_max, band_power=band_p
                 )
-            if air_spectra is not None or mic_spectra is not None:
+            if air_s is not None or mic_s is not None:
                 key, k2 = jax.random.split(key)
-                x_aug = ir_convolve(k2, x_aug, air_spectra, mic_spectra, fftconv_n)
+                x_aug = ir_convolve(k2, x_aug, air_s, mic_s, fftconv_n)
             x_aug = x_aug[..., pad_start : pad_start + segment_size]
             x = jnp.stack([x_org, x_aug], axis=1)  # [B, 2, seg]
         else:
             x = x_org[:, None, :]
         return mel(x)
+
+    def augment_fn(key, x_org, x_aug, augmented=True):
+        return _augment(
+            key, x_org, x_aug, noise_bank, air_spectra, mic_spectra,
+            band_power, augmented=augmented,
+        )
 
     return augment_fn

@@ -45,7 +45,7 @@ def main():
     import jax.numpy as jnp
 
     from pfann_tpu.data.shuffler import batched
-    from pfann_tpu.ops.augment import add_noises, ir_convolve
+    from pfann_tpu.ops.augment import add_noises, complex_bank, ir_convolve
 
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(1000)
@@ -66,8 +66,10 @@ def main():
             x_aug = np.asarray(
                 ir_convolve(
                     k2, jnp.asarray(x_aug),
-                    jnp.asarray(ds.air.data) if ds.air is not None else None,
-                    jnp.asarray(ds.micirp.data) if ds.micirp is not None else None,
+                    jnp.asarray(complex_bank(ds.air.data))
+                    if ds.air is not None else None,
+                    jnp.asarray(complex_bank(ds.micirp.data))
+                    if ds.micirp is not None else None,
                     ds.fftconv_n,
                 )
             )[:, ds.pad_start : ds.pad_start + ds.segment_size]
