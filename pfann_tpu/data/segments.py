@@ -116,15 +116,16 @@ class MusicSegmentDataset:
 
     def get_single_segment(self, idx: int, offset: int, length: int) -> np.ndarray:
         """One window of pad_start + length samples, zero-padded at the
-        song edges (dataset_v2.py:109-124)."""
+        song edges (dataset_v2.py:109-124).  Returned as raw int16 — the
+        1/32768 scaling happens on device, so host->device transfers stay
+        2 bytes/sample."""
         cue = int(self.cues[idx]) + offset
         left = int(self.offset_left[idx]) + offset
         right = int(self.offset_right[idx]) - offset
         seg = self.f[cue - min(left, self.pad_start) : cue + min(right, length)]
-        seg = np.pad(
+        return np.pad(
             seg, [max(0, self.pad_start - left), max(0, length - right)]
         )
-        return seg.astype(np.float32) * np.float32(1 / 32768)
 
     def get_batch(
         self, indices: list[int], eval_time_shift: bool, rng: np.random.Generator

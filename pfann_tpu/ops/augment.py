@@ -162,6 +162,9 @@ def make_augment_fn(
     @functools.partial(jax.jit, static_argnames=("augmented",))
     def _augment(key, x_org, x_aug, noise_b, air_s, mic_s, band_p,
                  augmented=True):
+        if x_org.dtype == jnp.int16:  # raw cache samples; scale on device
+            x_org = x_org.astype(jnp.float32) * (1.0 / 32768.0)
+            x_aug = x_aug.astype(jnp.float32) * (1.0 / 32768.0)
         if augmented:
             if noise_b is not None:
                 key, k1 = jax.random.split(key)

@@ -54,6 +54,8 @@ def main():
     for b in range(args.num_batches):
         idx = next(it)
         x_org, x_aug = ds.get_batch(idx, False, rng)
+        x_org = x_org.astype(np.float32) / 32768
+        x_aug = x_aug.astype(np.float32) / 32768
         key, k1, k2 = jax.random.split(key, 3)
         if ds.noise is not None:
             x_aug = np.asarray(
