@@ -191,31 +191,35 @@ class Trainer:
         logger.info("epoch %d train loss %f (%.1fs)", epoch + 1, mean_loss, time.time() - t0)
         return params, opt_state, mean_loss
 
-    def _embed_all(self, params, batches: Iterable[np.ndarray], chunk: int = 1280):
-        """Embed a stream of [n, F, T] arrays with a fixed-chunk jitted step
-        (pad the tail so every call hits the same compiled program)."""
+    def _embed_all(self, params, batches: Iterable, chunk: int = 1280):
+        """Embed a stream of [n, F, T] arrays (host or device resident)
+        with a fixed-chunk jitted step (tail padded so every call hits the
+        same compiled program).  Only the [chunk, d] embeddings come back
+        to the host — batches stay on device."""
         outs, buf, count = [], [], 0
         F, T = self.model.F, self.model.T
 
         def flush(arr, n_valid):
             pad = chunk - arr.shape[0]
             if pad:
-                arr = np.concatenate([arr, np.zeros((pad, F, T), arr.dtype)])
-            y = self.embed_step(params, jnp.asarray(arr))
+                arr = jnp.concatenate(
+                    [arr, jnp.zeros((pad, F, T), arr.dtype)]
+                )
+            y = self.embed_step(params, arr)
             outs.append(np.asarray(y)[:n_valid])
 
         for x in batches:
-            buf.append(np.asarray(x, dtype=np.float32))
+            buf.append(jnp.asarray(x, dtype=jnp.float32))
             count += buf[-1].shape[0]
             if count >= chunk:
-                arr = np.concatenate(buf)
+                arr = jnp.concatenate(buf)
                 for i in range(0, arr.shape[0] - chunk + 1, chunk):
                     flush(arr[i : i + chunk], chunk)
                 rem = arr.shape[0] % chunk
                 buf = [arr[arr.shape[0] - rem :]] if rem else []
                 count = rem
         if count:
-            flush(np.concatenate(buf), count)
+            flush(jnp.concatenate(buf) if len(buf) > 1 else buf[0], count)
         return np.concatenate(outs) if outs else np.zeros((0, self.model.d), np.float32)
 
     def validate(self, params, train_loader, val_loader) -> dict[str, float]:
@@ -230,11 +234,11 @@ class Trainer:
         val_loader.augmented = True
 
         x_embed = self._embed_all(
-            params, (np.asarray(x)[:, 0] for x in train_loader)
+            params, (jnp.asarray(x)[:, 0] for x in train_loader)
         )
         y_embed = self._embed_all(
             params,
-            (np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:]) for x in val_loader),
+            (jnp.asarray(x).reshape((-1,) + x.shape[2:]) for x in val_loader),
         )
         y_org, y_aug = y_embed[0::2], y_embed[1::2]
         v = y_org.shape[0]
