@@ -181,3 +181,31 @@ def test_database_sharded_flag(tmp_path):
         assert got[1][0] == want[1][0]
         np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
         np.testing.assert_allclose(got[2][:, 0], want[2][:, 0], rtol=1e-4, atol=1e-5)
+
+
+def test_database_sharded_fsm2(tmp_path):
+    from pfann_tpu.index.database import Database, write_index_meta
+    import os
+
+    rng = np.random.default_rng(10)
+    db, counts, song_pos = make_db(rng, n_songs=8, min_len=12, d=8)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(8)))
+    write_index_meta(dbdir, d=8)
+
+    base = db[song_pos[6] + 1 : song_pos[6] + 7]
+    query = np.repeat(base, 2, axis=0)
+    query[1::2] += 0.1 * rng.standard_normal(query[1::2].shape).astype(np.float32)
+    common = {"top_k": 5, "db_dtype": "float32", "engine": "align",
+              "frame_shift_mul": 2}
+    d_sh = Database(dbdir, dict(common, sharded=True), hop_size=0.5)
+    d_1 = Database(dbdir, common, hop_size=0.5)
+    bs, (ss, ts), _ = d_sh.query_embeddings(query)
+    b1, (s1, t1), _ = d_1.query_embeddings(query)
+    assert ss == s1 == 6
+    assert ts == pytest.approx(t1)
+    np.testing.assert_allclose(bs, b1, rtol=1e-4)
