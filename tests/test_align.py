@@ -198,3 +198,34 @@ def test_top1_device_matches_host_finalize():
         assert song[i] == s == int(np.argmax(score[i]))
         np.testing.assert_allclose(sco_sum[i] / 5, score[i, s], rtol=1e-5)
         assert t[i] == t_host[i, s] == 1
+
+
+def test_zero_length_song_in_db(tmp_path):
+    """Builder records 0 segments for broken files (builder.py:82-86);
+    the align engine must keep song indexing consistent around them."""
+    rng = np.random.default_rng(9)
+    counts = np.asarray([10, 0, 14, 0, 8])
+    total = int(counts.sum())
+    db = rng.standard_normal((total, 8)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    song_pos = np.pad(np.cumsum(counts), (1, 0))
+
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(5)))
+    write_index_meta(dbdir, d=8)
+
+    database = Database(
+        dbdir, {"top_k": 5, "engine": "align", "db_dtype": "float32"},
+        hop_size=0.5,
+    )
+    for song in (0, 2, 4):
+        q = db[song_pos[song] + 1 : song_pos[song] + 6]
+        best, (ans, tim), table = database.query_embeddings(q)
+        assert ans == song
+        assert tim == pytest.approx(0.5)
+        # zero-length songs can never score above the empty-window floor
+        assert table[1, 0] <= 1e-6 and table[3, 0] <= 1e-6
