@@ -70,3 +70,24 @@ class MicIRP:
 
     def random_choose(self, rng: np.random.Generator, num: int) -> np.ndarray:
         return self.data[rng.integers(0, self.data.shape[0], num)]
+
+
+def _main():
+    """List .mat IR files in a directory to CSV (reference ir.py:74-89:
+    ``python -m pfann_tpu.data.ir <air dir> <out csv>``)."""
+    import argparse
+
+    args = argparse.ArgumentParser()
+    args.add_argument("air")
+    args.add_argument("out")
+    args = args.parse_args()
+    with open(args.out, "w", encoding="utf8", newline="\n") as fout:
+        writer = csv.writer(fout)
+        writer.writerow(["file"])
+        for name in sorted(os.listdir(args.air)):
+            if name.endswith(".mat"):
+                writer.writerow([name])
+
+
+if __name__ == "__main__":
+    _main()
