@@ -56,8 +56,12 @@ def main() -> None:
         return filters, sources
 
     # warmup / compile + recall sanity on noisy queries (top-1 serve path:
-    # only (song, score, t) per query crosses the host boundary)
-    f0, sources = make_batch(1)
+    # only (song, score, t) per query crosses the host boundary).  The
+    # warmup batch is staged in bf16 — the SAME dtype as the timed batches
+    # below — so the timed region never recompiles (BENCH_r01.json showed
+    # a 13.6 s first-timed-call compile from an f32 warmup).
+    f0_np, sources = make_batch(1)
+    f0 = jax.device_put(jnp.asarray(f0_np, dtype=jnp.bfloat16))
     (song, sco, t), = engine.search_top1_device(f0)
     hits = int((np.asarray(song) == np.asarray(sources)).sum())
     assert hits == B, "recall sanity failed: %d/%d" % (hits, B)
@@ -98,16 +102,75 @@ def main() -> None:
         slope = min(t2s) / 16
     qps = B / slope
 
-    print(
-        json.dumps(
-            {
-                "metric": "queries_per_sec",
-                "value": round(qps, 1),
-                "unit": "10s-queries/s/chip",
-                "vs_baseline": round(qps / 5000.0, 3),
-            }
+    result = {
+        "metric": "queries_per_sec",
+        "value": round(qps, 1),
+        "unit": "10s-queries/s/chip",
+        "vs_baseline": round(qps / 5000.0, 3),
+    }
+    try:
+        result["train_step_ms"] = round(train_step_ms(), 1)
+    except Exception as e:  # retrieval is the headline; train bench is extra
+        print("train bench failed: %r" % (e,), file=sys.stderr)
+    print(json.dumps(result))
+
+
+def train_step_ms() -> float:
+    """Secondary metric: flagship train-step latency at the reference's
+    full 640-pair batch (1280 mel segments, d=128/h=1024/u=32 — the
+    batch the reference needs its gradient-cache two-pass trick for,
+    train.py:82-97; here it's one jitted DP-able step)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pfann_tpu.train.trainer import Trainer
+
+    cfg = {
+        "batch_size": 640,
+        "sample_rate": 8000,
+        "stft_n": 1024,
+        "stft_hop": 256,
+        "n_mels": 256,
+        "f_min": 300,
+        "f_max": 4000,
+        "segment_size": 1,
+        "hop_size": 0.5,
+        "epoch": 100,
+        "lr": 1e-4,
+        "tau": 0.05,
+        "cutout_min": 0.1,
+        "cutout_max": 0.5,
+        "model": {"d": 128, "h": 1024, "u": 32, "fuller": True},
+    }
+    trainer = Trainer(cfg, compute_dtype=jnp.bfloat16)
+    params, opt_state = trainer.init_state()
+    rng = np.random.default_rng(7)
+    # distinct pre-staged batches (relay caches identical inputs)
+    xs = [
+        jax.device_put(
+            jnp.asarray(rng.random((1280, 256, 32), dtype=np.float32))
         )
-    )
+        for i in range(8)
+    ]
+    jax.block_until_ready(xs)
+    key = jax.random.key(0)
+
+    def chain(n, params, opt_state):
+        t0 = time.time()
+        loss = None
+        for i in range(n):
+            params, opt_state, loss = trainer.train_step(
+                params, opt_state, xs[i % len(xs)], key
+            )
+        np.asarray(loss)  # device->host transfer is the reliable sync
+        return time.time() - t0, params, opt_state
+
+    _, params, opt_state = chain(1, params, opt_state)  # compile
+    t2, params, opt_state = chain(2, params, opt_state)
+    t8, params, opt_state = chain(8, params, opt_state)
+    return max((t8 - t2) / 6, 1e-9) * 1000
 
 
 if __name__ == "__main__":

@@ -90,6 +90,7 @@ def alignment_core(
     n_songs: int,
     score_dtype=jnp.bfloat16,
     impl: str = "xla",
+    interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """db [>= n_songs*R + pad, d]; queries [B, S, d].
 
@@ -107,7 +108,7 @@ def alignment_core(
         from pfann_tpu.index.pallas_align import PALLAS_G, pallas_alignment_reduce
 
         best, argoff = pallas_alignment_reduce(
-            db, qsT.astype(db.dtype), S=S, R=R, G=PALLAS_G
+            db, qsT.astype(db.dtype), S=S, R=R, G=PALLAS_G, interpret=interpret
         )
         return (
             jnp.transpose(best[:n_songs]),
@@ -128,7 +129,8 @@ def alignment_core(
 
 
 _alignment_search_uniform = functools.partial(
-    jax.jit, static_argnames=("R", "S", "n_songs", "score_dtype", "impl")
+    jax.jit,
+    static_argnames=("R", "S", "n_songs", "score_dtype", "impl", "interpret"),
 )(alignment_core)
 
 

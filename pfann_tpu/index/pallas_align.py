@@ -74,12 +74,17 @@ def _align_reduce_kernel(S: int, G: int, R: int, B: int, db_ref, q_ref,
     off_ref[:] = jnp.concatenate(argoffs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "R", "G"))
+@functools.partial(jax.jit, static_argnames=("S", "R", "G", "interpret"))
 def pallas_alignment_reduce(
-    db: jnp.ndarray, qmat: jnp.ndarray, *, S: int, R: int, G: int = 4
+    db: jnp.ndarray, qmat: jnp.ndarray, *, S: int, R: int, G: int = 4,
+    interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """db [n_groups*G*R, d] (uniform-region layout, bf16); qmat
     [d, S*LANE_B] (column (i, b) = query b's window-row i).
+
+    ``interpret=True`` runs the kernel in Pallas interpret mode — used by
+    the CPU-mesh tests to prove shard-parity of the pallas layout without
+    TPU hardware.
 
     Returns (best [n_songs_padded, LANE_B] f32 summed alignment,
     argoff [n_songs_padded, LANE_B] int32 window offset in the region)."""
@@ -113,6 +118,7 @@ def pallas_alignment_reduce(
             bytes_accessed=N * d * db.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(db, qmat)
 
 

@@ -29,6 +29,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pfann_tpu.index.search import mips_topk, seq_rerank
 
 
+_B_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket_batch(n: int) -> int:
+    for b in _B_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
+
+
+def _bucket_windows(s: int, cap: int) -> int:
+    """Round the filter window count up to a multiple of 8 (capped at the
+    layout pad) — zero filter rows score zero, so padding S is free."""
+    return min(-(-s // 8) * 8, max(cap, s))
+
+
 def partition_songs(counts: np.ndarray, n_shards: int) -> list[list[int]]:
     """Greedy balanced partition of songs into n_shards by segment count,
     preserving song order inside a shard (contiguity is irrelevant — each
@@ -67,14 +83,26 @@ class ShardedDatabase:
         db_dtype=jnp.bfloat16,
         engine: str = "topk",
         align_pad: int = 32,
+        impl: str = "auto",
+        interpret: bool = False,
     ):
         self.mesh = mesh
         self.axis = axis
+        self.pad = align_pad
         self.top_k = top_k
         self.frame_shift_mul = frame_shift_mul
         self.score_alpha = score_alpha
         self.backend = backend
         self.engine = engine
+        # align-engine kernel choice: the fused Pallas kernel on TPU (the
+        # round-1 single-chip headline path — the XLA variant is ~4x
+        # slower at serving batch sizes), XLA elsewhere.  interpret=True
+        # runs the pallas layout through the interpreter for CPU parity
+        # tests.
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.impl = impl
+        self.interpret = interpret
         n_shards = mesh.shape[axis]
         self.n_shards = n_shards
         self.n_songs = len(counts)
@@ -90,9 +118,19 @@ class ShardedDatabase:
             # uniform-region layout per shard (index/align.py), common R
             # across shards so one program serves every chip
             lmax = int(counts.max()) if len(counts) else 0
-            self.pad = align_pad
             self.R = -(-(align_pad + lmax) // 8) * 8
-            rows = songs_max * self.R + align_pad
+            if self.impl == "pallas":
+                # kernel constraints: song count a multiple of the song-
+                # group size, no trailing pad (the kernel synthesizes the
+                # zero halo — valid because every region leads with
+                # align_pad >= S-1 zero rows)
+                from pfann_tpu.index.pallas_align import PALLAS_G
+
+                songs_max = -(-max(songs_max, 1) // PALLAS_G) * PALLAS_G
+                rows = songs_max * self.R
+            else:
+                rows = songs_max * self.R + align_pad
+            song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
             db_sh = np.zeros((n_shards, rows, self.d), dtype=np.float32)
             for si, g in enumerate(groups):
                 for gi, song in enumerate(g):
@@ -139,19 +177,22 @@ class ShardedDatabase:
         if self.engine == "align":
             from pfann_tpu.index.align import alignment_core
 
-            R = self.R
+            R, impl, interpret = self.R, self.impl, self.interpret
 
             @partial(
                 jax.shard_map,
                 mesh=self.mesh,
                 in_specs=(P(axis), P(), P()),
                 out_specs=(P(axis), P(axis)),
+                # pallas_call outputs carry no vma metadata — skip the
+                # varying-mesh-axes check (each shard's call is local)
+                check_vma=False,
             )
             def sharded_align(db_sh, qpad, valid):
                 q = jnp.where(valid[:, :, None], qpad, 0.0)
                 best, argoff = alignment_core(
                     db_sh[0], q, R=R, S=S, n_songs=songs_max,
-                    score_dtype=db_sh.dtype,
+                    score_dtype=db_sh.dtype, impl=impl, interpret=interpret,
                 )
                 return best[None], argoff[None]
 
@@ -188,27 +229,37 @@ class ShardedDatabase:
         *global* song order (padded slots dropped)."""
         B = len(queries)
         S = pad_to or max(q.shape[0] for q in queries)
-        qpad = np.zeros((B, S, self.d), dtype=np.float32)
-        valid = np.zeros((B, S), dtype=bool)
+        # bucket S and B so ragged batches / varying query lengths reuse
+        # the compiled program (zero-padded rows contribute zero score);
+        # the pallas kernel additionally needs B in full 128-lane groups
+        S = _bucket_windows(S, self.pad)
+        if self.engine == "align" and self.impl == "pallas":
+            from pfann_tpu.index.pallas_align import LANE
+
+            Bp = -(-B // LANE) * LANE
+        else:
+            Bp = _bucket_batch(B)
+        qpad = np.zeros((Bp, S, self.d), dtype=np.float32)
+        valid = np.zeros((Bp, S), dtype=bool)
         for i, q in enumerate(queries):
             qpad[i, : q.shape[0]] = q
             valid[i, : q.shape[0]] = True
-        key = (S, B)
+        key = (S, Bp)
         if key not in self._query_cache:
-            self._query_cache[key] = self._make_query_fn(S, B)
+            self._query_cache[key] = self._make_query_fn(S, Bp)
         if self.engine == "align":
             best, argoff = self._query_cache[key](
                 self._db, jnp.asarray(qpad), jnp.asarray(valid)
             )
             lens = np.maximum(np.asarray([q.shape[0] for q in queries]), 1)
-            smax = np.asarray(best) / lens[None, :, None]
-            stime = (np.asarray(argoff) - self.pad).astype(np.float32)
+            smax = np.asarray(best)[:, :B] / lens[None, :, None]
+            stime = (np.asarray(argoff)[:, :B] - self.pad).astype(np.float32)
         else:
             smax, stime = self._query_cache[key](
                 self._db, self._song_pos, jnp.asarray(qpad), jnp.asarray(valid)
             )
-            smax = np.asarray(smax)   # [n_shards, B, songs_max]
-            stime = np.asarray(stime)
+            smax = np.asarray(smax)[:, :B]   # [n_shards, B, songs_max]
+            stime = np.asarray(stime)[:, :B]
         out_max = np.full((B, self.n_songs), -np.inf, dtype=np.float32)
         out_time = np.zeros((B, self.n_songs), dtype=np.float32)
         for si in range(self.n_shards):

@@ -270,6 +270,42 @@ def test_snr_only_in_f_range(pipeline_root):
     assert np.isfinite(x).all()
 
 
+@pytest.mark.parametrize("name", ["seg.json", "snr.json"])
+def test_shipped_ablation_configs_reach_code_paths(pipeline_root, name):
+    """The thesis ablation matrix needs configs/seg.json (uniform
+    time-shift, reference configs/seg.json) and configs/snr.json
+    (in-band SNR, reference configs/snr.json); load each shipped file
+    and run its knobs through the training pipeline."""
+    from pfann_tpu.data.segments import SegmentedDataLoader
+    from pfann_tpu.utils import read_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shipped = read_config(os.path.join(repo, "configs", name))
+    if name == "seg.json":
+        assert shipped["time_shift_type"] == "uniform"
+        assert shipped["pad_start"] == 1
+    else:
+        assert shipped["noise"]["snr_only_in_f_range"] is True
+
+    # fixture corpus paths + the shipped file's ablation knobs
+    cfg = dict(pipeline_root)
+    if "time_shift_type" in shipped:
+        cfg["time_shift_type"] = shipped["time_shift_type"]
+    cfg["time_offset"] = shipped["time_offset"]
+    cfg["noise"] = dict(
+        cfg["noise"],
+        **{
+            k: v
+            for k, v in shipped["noise"].items()
+            if k in ("snr_min", "snr_max", "snr_only_in_f_range")
+        },
+    )
+    loader = SegmentedDataLoader("train", cfg, num_workers=2)
+    loader.set_epoch(0)
+    x = np.asarray(next(iter(loader)))
+    assert x.shape[1] == 2 and np.isfinite(x).all()
+
+
 def test_genquery_cli(pipeline_root, tmp_path):
     """genquery.py generates deterministic noisy queries + ground truth."""
     import json
