@@ -7,6 +7,10 @@ noise crop scaled to a random SNR (or gaussian noise when no corpus),
 apply the SAME room+mic IRs to music and noise separately, crop, mix,
 joint peak-normalize, write music/ mix/ noise/ WAVs + per-split CSV.
 
+The crop geometry and IR machinery are shared with the query generators
+via :mod:`pfann_tpu.data.querygen` (ClipSampler / ReverbBank — one IR
+draw applied to two signals).
+
     python denoise/createdataset.py -d <music_dir> --noise <dir> --air <dir>
         --micirp <dir> -p configs/default.json -l 30 -o <out>
 """
@@ -20,86 +24,55 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pfann_tpu.audio.io import get_audio, write_wav  # noqa: E402
-from pfann_tpu.audio.resample import resample  # noqa: E402
-from pfann_tpu.data.ir import AIR, MicIRP  # noqa: E402
-from pfann_tpu.data.noise import NoiseData  # noqa: E402
+from pfann_tpu.audio.io import write_wav  # noqa: E402
+from pfann_tpu.data.querygen import (  # noqa: E402
+    ClipSampler,
+    ReverbBank,
+    fft_block_len,
+    load_eval_corpora,
+)
 from pfann_tpu.utils import read_config  # noqa: E402
 
 
-def make_triplet(rng, music_dir, name, noise_data, air, micirp, length, params):
-    sample_rate = params["sample_rate"]
-    music, smprate = get_audio(os.path.join(music_dir, name))
-
-    sel = int(smprate * length)
-    pad = int(smprate * params["pad_start"])
-    if music.shape[1] > sel:
-        t0 = int(rng.integers(0, music.shape[1] - sel))
-        music = music[:, max(0, t0 - pad) : t0 + sel]
-        music = np.pad(music, ((0, 0), (max(pad - t0, 0), 0)))
-    else:
-        music = np.pad(music, ((0, 0), (pad, sel - music.shape[1])))
-    music = music.mean(axis=0)
-    music = resample(music, smprate, sample_rate)
-
-    sel = int(sample_rate * length)
-    pad = int(sample_rate * params["pad_start"])
-    if music.shape[0] > sel + pad:
-        music = music[: sel + pad]
-    else:
-        music = np.pad(music, (0, sel + pad - music.shape[0]))
-
+def make_triplet(rng, path, noise_data, reverb, sampler, params):
+    """(music, noise, mix) at the pipeline rate, jointly peak-normalized.
+    One reverb draw is applied to music and noise separately so the mix
+    is physically consistent (createdataset.py:61-104 semantics)."""
+    music, _ = sampler.sample(rng, path)
     music = music - music.mean()
-    amp = float(np.sqrt((music**2).mean()))
+    rms = float(np.sqrt((music**2).mean()))
     snr = rng.uniform(params["noise"]["snr_min"], params["noise"]["snr_max"])
-    if noise_data:
+    gain = rms * 10 ** (-0.05 * snr)
+    if noise_data is not None:
         noise = noise_data.random_choose(rng, 1, music.shape[0])[0]
-        noise_amp = float(np.sqrt((noise**2).mean()))
-        noise = noise * (amp / max(noise_amp, 1e-12) * 10 ** (-0.05 * snr))
+        noise_rms = float(np.sqrt((noise**2).mean()))
+        noise = noise * (gain / max(noise_rms, 1e-12))
     else:
-        noise = rng.normal(0.0, amp * 10 ** (-0.05 * snr), music.shape[0]).astype(
-            np.float32
-        )
+        noise = rng.normal(0.0, gain, music.shape[0]).astype(np.float32)
 
-    n = params["fftconv_n"]
-    music_freq = np.fft.rfft(music, n)
-    noise_freq = np.fft.rfft(noise, n)
-    if air:
-        aira, _ = air.random_choose_name(rng)
-        music_freq *= aira
-        noise_freq *= aira
-    if micirp:
-        mic = micirp.random_choose(rng, 1)[0]
-        music_freq *= mic
-        noise_freq *= mic
-    music = np.fft.irfft(music_freq, n)[pad : pad + sel]
-    noise = np.fft.irfft(noise_freq, n)[pad : pad + sel]
-    mix = music + noise
+    mult, _ = reverb.draw(rng)
+    keep = (sampler.n_ctx, sampler.n_ctx + sampler.n_clip)
+    music_r = reverb.apply(music, mult, keep)
+    noise_r = reverb.apply(noise, mult, keep)
+    mix = music_r + noise_r
 
-    vol = max(np.abs(mix).max(), np.abs(music).max(), np.abs(noise).max(), 1e-12)
-    return music / vol, noise / vol, mix / vol
+    vol = max(
+        np.abs(mix).max(), np.abs(music_r).max(), np.abs(noise_r).max(), 1e-12
+    )
+    return music_r / vol, noise_r / vol, mix / vol
 
 
 def gen_for(train_val, args, params):
     sample_rate = params["sample_rate"]
-    noise = air = micirp = None
-    if args.noise:
-        noise = NoiseData(
-            noise_dir=args.noise, list_csv=params["noise"][train_val],
-            sample_rate=sample_rate, cache_dir=params["cache_dir"],
-        )
-    if args.air:
-        air = AIR(
-            air_dir=args.air, list_csv=params["air"][train_val],
-            length=params["air"]["length"], fftconv_n=params["fftconv_n"],
-            sample_rate=sample_rate,
-        )
-    if args.micirp:
-        micirp = MicIRP(
-            mic_dir=args.micirp, list_csv=params["micirp"][train_val],
-            length=params["micirp"]["length"], fftconv_n=params["fftconv_n"],
-            sample_rate=sample_rate,
-        )
+    # corpora come from the CLI flags only (an omitted flag disables the
+    # member rather than falling back to the config's dataset dirs)
+    noise, air, micirp = load_eval_corpora(
+        params, train_val, params["fftconv_n"],
+        noise_dir=args.noise or "", air_dir=args.air or "",
+        mic_dir=args.micirp or "",
+    )
+    reverb = ReverbBank(air, micirp, params["fftconv_n"])
+    sampler = ClipSampler(sample_rate, args.length, params["pad_start"])
 
     with open(params[train_val + "_csv"], "r") as fin:
         reader = csv.reader(fin)
@@ -118,15 +91,18 @@ def gen_for(train_val, args, params):
         for i, name in enumerate(music_list):
             rng = np.random.default_rng(5000 + i)
             music, noise_out, mix = make_triplet(
-                rng, args.data, name, noise, air, micirp, args.length, params
+                rng, os.path.join(args.data, name), noise, reverb, sampler,
+                params,
             )
             base = os.path.splitext(os.path.split(name)[1])[0] + ".wav"
             writer.writerow(
-                ["music/" + base, "mix/" + base, "noise/" + base, float(args.length)]
+                ["music/" + base, "mix/" + base, "noise/" + base,
+                 float(args.length)]
             )
             write_wav(os.path.join(args.out, "music", base), music, sample_rate)
             write_wav(os.path.join(args.out, "mix", base), mix, sample_rate)
-            write_wav(os.path.join(args.out, "noise", base), noise_out, sample_rate)
+            write_wav(os.path.join(args.out, "noise", base), noise_out,
+                      sample_rate)
 
 
 def main():
@@ -141,15 +117,7 @@ def main():
     args = args.parse_args()
 
     params = read_config(args.params)
-    sample_rate = params["sample_rate"]
-    win = (
-        params["pad_start"] + args.length
-        + params["air"]["length"] + params["micirp"]["length"]
-    ) * sample_rate
-    fftconv_n = 2048
-    while fftconv_n < win:
-        fftconv_n *= 2
-    params["fftconv_n"] = fftconv_n
+    params["fftconv_n"] = fft_block_len(params, args.length)
     gen_for("train", args, params)
     gen_for("validate", args, params)
 

@@ -37,112 +37,6 @@ def test_ir_convolve_matches_numpy_fftconv():
     np.testing.assert_allclose(out, ref, atol=1e-3)
 
 
-@pytest.fixture(scope="module")
-def pipeline_root(tmp_path_factory):
-    """Synthetic corpus + noise + micirp wavs + AIR .mat + config."""
-    import scipy.io
-
-    from pfann_tpu.audio.io import write_wav
-
-    root = tmp_path_factory.mktemp("pipe")
-    rng = np.random.default_rng(3)
-    music_dir = root / "music"
-    music_dir.mkdir()
-    rows = []
-    for i in range(4):
-        wav = (rng.random(8000 * 6, dtype=np.float32) - 0.5) * 0.8
-        write_wav(str(music_dir / f"m{i}.wav"), wav, 8000)
-        rows.append(f"m{i}.wav")
-    for split in ("train", "validate"):
-        with open(root / f"music_{split}.csv", "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["file"])
-            w.writerows([[r] for r in rows])
-
-    noise_dir = root / "noise"
-    noise_dir.mkdir()
-    with open(root / "noise.csv", "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["file"])
-        for i in range(2):
-            wav = (rng.random(8000 * 3, dtype=np.float32) - 0.5) * 0.5
-            write_wav(str(noise_dir / f"n{i}.wav"), wav, 8000)
-            w.writerow([f"n{i}.wav"])
-
-    mic_dir = root / "micirp"
-    mic_dir.mkdir()
-    with open(root / "micirp.csv", "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["file"])
-        ir = np.zeros(4000, np.float32)
-        ir[0] = 1.0
-        ir[800] = 0.3
-        write_wav(str(mic_dir / "mic0.wav"), ir, 8000)
-        w.writerow(["mic0.wav"])
-
-    air_dir = root / "air"
-    air_dir.mkdir()
-    with open(root / "air.csv", "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["file"])
-        h = np.zeros((1, 2000), np.float64)
-        h[0, 0] = 1.0
-        h[0, 300] = 0.4
-        scipy.io.savemat(
-            str(air_dir / "a0.mat"),
-            {
-                "h_air": h,
-                "air_info": {"fs": np.array([[8000]]), "room": "testroom"},
-            },
-        )
-        w.writerow(["a0.mat"])
-
-    cfg = {
-        "train_csv": str(root / "music_train.csv"),
-        "validate_csv": str(root / "music_validate.csv"),
-        "music_dir": str(music_dir),
-        "model_dir": str(root / "model"),
-        "cache_dir": str(root / "caches"),
-        "batch_size": 8,
-        "shuffle_size": 2,
-        "sample_rate": 8000,
-        "stft_n": 1024,
-        "stft_hop": 256,
-        "n_mels": 256,
-        "f_min": 300,
-        "f_max": 4000,
-        "segment_size": 1,
-        "hop_size": 0.5,
-        "time_offset": 1.2,
-        "pad_start": 0.5,
-        "epoch": 1,
-        "lr": 1e-3,
-        "tau": 0.05,
-        "cutout_min": 0.1,
-        "cutout_max": 0.5,
-        "noise": {
-            "train": str(root / "noise.csv"),
-            "validate": str(root / "noise.csv"),
-            "dir": str(noise_dir),
-            "snr_max": 10,
-            "snr_min": 0,
-        },
-        "micirp": {
-            "train": str(root / "micirp.csv"),
-            "validate": str(root / "micirp.csv"),
-            "dir": str(mic_dir),
-            "length": 0.5,
-        },
-        "air": {
-            "train": str(root / "air.csv"),
-            "validate": str(root / "air.csv"),
-            "dir": str(air_dir),
-            "length": 0.25,
-        },
-        "model": {"d": 16, "h": 64, "u": 8, "fuller": True},
-        "indexer": {"top_k": 10, "frame_shift_mul": 1},
-    }
-    return cfg
 
 
 def test_segmented_loader(pipeline_root):
