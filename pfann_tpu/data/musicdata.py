@@ -1,9 +1,11 @@
 """Inference-time music dataset: file -> overlapping query/DB segments.
 
 Parity target: reference datautil/musicdata.py:12-104 —
-  * decode + resample to the model rate (julius replaced by the scipy
-    polyphase resampler; whole-file instead of 60 s streamed chunks —
-    song-length audio at 8 kHz mono is tiny on a host)
+  * streamed decode + chunked resample to the model rate with bounded
+    source-rate memory (julius' 60 s overlap-trimmed windows,
+    musicdata.py:28-66, replaced by the sample-exact block resampler in
+    pfann_tpu/audio/stream.py — 1 h tracks never hold source-rate audio
+    for more than one block)
   * fake-stereo (opposite-phase) detection before the mono mixdown
     (musicdata.py:74-80)
   * pad short files to one segment
@@ -57,8 +59,16 @@ class MusicDataset:
     def _unsafe_load(self, index: int) -> tuple[int, str, np.ndarray]:
         logger = get_logger()
         logger.info("MusicDataset getitem %s", self.files[index])
-        wav, smprate = get_audio(self.files[index])
-        wav = resample(wav, smprate, self.sample_rate)
+        name = self.files[index]
+        if name.startswith("s3://") or not self.params.get("streaming", True):
+            # s3 objects are downloaded whole anyway; and "streaming":
+            # false is an escape hatch
+            wav, smprate = get_audio(name)
+            wav = resample(wav, smprate, self.sample_rate)
+        else:
+            from pfann_tpu.audio.stream import stream_audio_resampled
+
+            wav, _ = stream_audio_resampled(name, self.sample_rate)
 
         # fake stereo with opposite phase (musicdata.py:74-80)
         if wav.shape[0] == 2:
