@@ -36,11 +36,18 @@ def main() -> None:
     MultiProcessInitLogger("nnmatcher")()
     logger = get_logger()
 
-    if len(sys.argv) < 4:
-        print("Usage: python %s <query list> <database dir> <result file>" % sys.argv[0])
+    argv = list(sys.argv)
+    visualize_flag = "--visualize" in argv
+    if visualize_flag:
+        argv.remove("--visualize")
+    if len(argv) < 4:
+        print(
+            "Usage: python %s <query list> <database dir> <result file>"
+            " [batch] [--visualize]" % argv[0]
+        )
         sys.exit()
-    file_list_for_query, dir_for_db, result_file = sys.argv[1:4]
-    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    file_list_for_query, dir_for_db, result_file = argv[1:4]
+    batch = int(argv[4]) if len(argv) > 4 else 32
     result_file2 = os.path.splitext(result_file)[0] + "_detail.csv"
     result_file_score = result_file + ".bin"
     params = read_config(os.path.join(dir_for_db, "configs.json"))
@@ -56,6 +63,12 @@ def main() -> None:
     print("database loaded")
 
     dataset = MusicDataset(file_list_for_query, params)
+
+    # gradient-saliency PNGs (reference matcher.py:118-155), enabled by
+    # the --visualize flag or "visualize": true in the indexer config;
+    # images land next to the result file
+    visualize = visualize_flag or params["indexer"].get("visualize", False)
+    viz_dir = os.path.dirname(os.path.abspath(result_file))
 
     tm_0 = time.time()
     with open(result_file, "w", encoding="utf8", newline="\n") as fout, open(
@@ -96,7 +109,13 @@ def main() -> None:
                 continue
 
             tm_1 = time.time()
-            embeddings = embedder.embed(wav)
+            if visualize:
+                from pfann_tpu.index.saliency import save_saliency_png
+
+                embeddings, grads, specs = embedder.embed_with_saliency(wav)
+                save_saliency_png(viz_dir, name, grads, specs)
+            else:
+                embeddings = embedder.embed(wav)
             logger.info("compute embedding %.6fs", time.time() - tm_1)
             pending.append((name, embeddings))
             if len(pending) >= batch:

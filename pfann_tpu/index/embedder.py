@@ -43,7 +43,23 @@ class Embedder:
         def _embed(variables, wav):
             return model.apply(variables, mel(wav), norm=True)
 
+        @jax.jit
+        def _embed_saliency(variables, wav):
+            # reference matcher.py:118-128: forward with norm=False, pull
+            # the gradient of ||z||^2/2 back to the mel input (cotangent
+            # z), then L2-normalize z for the search
+            g = mel(wav)
+            z, vjp = jax.vjp(
+                lambda gg: model.apply(variables, gg, norm=False), g
+            )
+            (dg,) = vjp(z)
+            z = z / jnp.maximum(
+                jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12
+            )
+            return z, dg, g
+
         self._embed = _embed
+        self._embed_saliency = _embed_saliency
 
     def embed(self, wav: np.ndarray) -> np.ndarray:
         """wav: [S, segment_size] float32 -> [S, d] float32 L2-normalized."""
@@ -61,3 +77,28 @@ class Embedder:
             y = self._embed(self.variables, jnp.asarray(part))
             outs.append(np.asarray(y)[:n])
         return np.concatenate(outs)
+
+    def embed_with_saliency(
+        self, wav: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like :meth:`embed`, additionally returning the mel-input
+        gradients and mel spectrograms ([S, F, T] each) for saliency
+        rendering (pfann_tpu/index/saliency.py)."""
+        S = wav.shape[0]
+        F, T = self.model.F, self.model.T
+        if S == 0:
+            z = np.zeros((0, self.d), dtype=np.float32)
+            return z, np.zeros((0, F, T), np.float32), np.zeros((0, F, T), np.float32)
+        zs, gs, ms = [], [], []
+        for i in range(0, S, self.chunk):
+            part = wav[i : i + self.chunk]
+            n = part.shape[0]
+            if n < self.chunk:
+                part = np.concatenate(
+                    [part, np.zeros((self.chunk - n, wav.shape[1]), wav.dtype)]
+                )
+            z, dg, g = self._embed_saliency(self.variables, jnp.asarray(part))
+            zs.append(np.asarray(z, np.float32)[:n])
+            gs.append(np.asarray(dg, np.float32)[:n])
+            ms.append(np.asarray(g, np.float32)[:n])
+        return np.concatenate(zs), np.concatenate(gs), np.concatenate(ms)

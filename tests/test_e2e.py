@@ -243,6 +243,56 @@ def test_matcher_end_to_end(db_and_model, corpus, tmp_path):
     assert r["exact_acc"] == 100.0
 
 
+def test_saliency_image_unit():
+    """Rendering contract: R=inf-normed |grad|, G=energy dimmed by R,
+    B=0, freq flipped, segment-marker columns zeroed."""
+    from pfann_tpu.index.saliency import SEG_MARK, saliency_image
+
+    rng = np.random.default_rng(0)
+    S, F, T = 3, 16, SEG_MARK
+    grads = rng.standard_normal((S, F, T)).astype(np.float32)
+    specs = rng.standard_normal((S, F, T)).astype(np.float32)
+    img = saliency_image(grads, specs)
+    assert img.shape == (F, S * T, 3) and img.dtype == np.uint8
+    assert (img[..., 2] == 0).all()
+    assert (img[:, ::SEG_MARK] == 0).all()
+    # red channel: each (segment, frame) column's max |grad| maps to 255
+    col = np.abs(grads[1, :, 5])
+    want = (col / col.max() * 255).astype(np.uint8)[::-1]
+    got = img[:, T + 5, 0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_matcher_saliency_visualization(db_and_model, corpus, tmp_path):
+    """--visualize writes one PNG per query next to the result file
+    (reference matcher.py:133-155)."""
+    cfg, db_dir = db_and_model
+    path, wav = corpus[2]
+    qpath = str(tmp_path / "vq.wav")
+    write_wav(qpath, wav[: 2 * 8000], 8000)
+    qlist = str(tmp_path / "qlist.txt")
+    with open(qlist, "w") as f:
+        f.write(qpath + "\n")
+    result = str(tmp_path / "viz_result.txt")
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "matcher.py"), qlist, db_dir,
+         result, "--visualize"],
+        check=True, env=env, cwd=REPO,
+    )
+    png = str(tmp_path / "vq.wav.png")
+    assert os.path.exists(png)
+    from PIL import Image
+
+    img = np.asarray(Image.open(png))
+    # 2 s query at 0.5 s hop -> 3 segments of [256, 32] mel frames
+    assert img.shape == (256, 3 * 32, 3)
+    assert img[..., 0].max() == 255  # saliency present
+    # the answer is still correct with the saliency path's embeddings
+    ans = open(result).read().split("\t")[1].strip()
+    assert ans == path
+
+
 def test_extractemb_matchemb_pipeline(db_and_model, corpus, tmp_path):
     """extractemb -> matchemb produces the same answers as matcher."""
     cfg, db_dir = db_and_model
