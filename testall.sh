@@ -16,6 +16,7 @@ db_list() {
     [out1]=lists/fma_out1.txt
     [out2]=lists/fma_out2.txt
     [mirex]=lists/mirex-db.txt
+    [synth]=out/synth_dataset/lists/db.txt
   )
   if [[ -z "${lists[$DATASET]:-}" ]]; then
     echo "$DATASET is not a supported dataset" >&2
