@@ -48,6 +48,8 @@ def main() -> None:
         sys.exit()
     file_list_for_query, dir_for_db, result_file = argv[1:4]
     batch = int(argv[4]) if len(argv) > 4 else 32
+    parent = os.path.dirname(os.path.abspath(result_file))
+    os.makedirs(parent, exist_ok=True)
     result_file2 = os.path.splitext(result_file)[0] + "_detail.csv"
     result_file_score = result_file + ".bin"
     params = read_config(os.path.join(dir_for_db, "configs.json"))

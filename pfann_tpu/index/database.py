@@ -221,7 +221,10 @@ class Database:
                 f, sl, _ = queries_to_filters(q, fsm, self._align.max_query_windows())
                 filters.append(f)
                 sub_lens.append(sl)
+            # bucket the window count to multiples of 8 (zero filter rows
+            # score zero) so ragged query lengths reuse the program
             S_max = max(f.shape[1] for f in filters)
+            S_max = min(-(-S_max // 8) * 8, self._align.max_query_windows())
             allf = np.zeros((len(queries) * fsm, S_max, self.d), np.float32)
             for i, f in enumerate(filters):
                 allf[i * fsm : (i + 1) * fsm, : f.shape[1]] = f

@@ -9,6 +9,7 @@ set -u
 
 MODEL="$1"; DATASET="$2"; shift 2
 SNRS="-6 -4 -2 0 2 4 6 8"
+mkdir -p out/dbs out/results
 
 db_list() {
   declare -A lists=(
@@ -17,6 +18,7 @@ db_list() {
     [out2]=lists/fma_out2.txt
     [mirex]=lists/mirex-db.txt
     [synth]=out/synth_dataset/lists/db.txt
+    [synth2s]=out/synth_dataset/lists/db.txt
   )
   if [[ -z "${lists[$DATASET]:-}" ]]; then
     echo "$DATASET is not a supported dataset" >&2

@@ -78,7 +78,11 @@ def test_cache_is_reference_format(pipeline_root):
     assert data.shape[0] == lens.sum()
 
 
+@pytest.mark.slow
 def test_train_on_real_pipeline(pipeline_root, tmp_path):
+    """slow: full Trainer.fit on the real pipeline (~80 s single-core);
+    fit/resume is covered by test_trainer, the loader by the tests
+    above."""
     from pfann_tpu.data.segments import SegmentedDataLoader
     from pfann_tpu.train.trainer import Trainer
 

@@ -156,7 +156,7 @@ def db_and_model(corpus, tmp_path_factory):
         return optax.apply_updates(v, up), o, loss
 
     rng = np.random.default_rng(0)
-    for it in range(100):
+    for it in range(60):
         idx = rng.choice(segs.shape[0], 24, replace=False)
         org = segs[idx]
         aug = org + 0.1 * rng.standard_normal(org.shape).astype(np.float32)
@@ -263,9 +263,11 @@ def test_saliency_image_unit():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_matcher_saliency_visualization(db_and_model, corpus, tmp_path):
     """--visualize writes one PNG per query next to the result file
-    (reference matcher.py:133-155)."""
+    (reference matcher.py:133-155).  slow: a full matcher subprocess;
+    the rendering contract is pinned by test_saliency_image_unit."""
     cfg, db_dir = db_and_model
     path, wav = corpus[2]
     qpath = str(tmp_path / "vq.wav")
