@@ -79,13 +79,31 @@ def main() -> None:
         detail_writer = csv.writer(fout2)
         detail_writer.writerow(["query", "answer", "score", "time", "part_scores"])
 
-        pending: list[tuple[str, np.ndarray]] = []
+        # (name, ("wav", segments) | ("emb", embeddings)); wavs are packed
+        # into shared embed chunks at flush time — per-query device calls
+        # cost a full host-sync RTT each, packing amortizes it ~7x for
+        # 10 s queries (19 rows vs the 128-row chunk)
+        pending: list[tuple[str, tuple[str, np.ndarray]]] = []
 
         def flush():
             nonlocal pending
             if not pending:
                 return
-            embs = [e for _, e in pending]
+            wav_idx = [i for i, (_, (kind, _)) in enumerate(pending)
+                       if kind == "wav"]
+            embs: list[np.ndarray | None] = [
+                None if kind == "wav" else payload
+                for _, (kind, payload) in pending
+            ]
+            if wav_idx:
+                tm = time.time()
+                packed = embedder.embed(
+                    np.concatenate([pending[i][1][1] for i in wav_idx])
+                )
+                lens = np.cumsum([pending[i][1][1].shape[0] for i in wav_idx])
+                for i, part in zip(wav_idx, np.split(packed, lens[:-1])):
+                    embs[i] = part
+                logger.info("compute embedding %.6fs", time.time() - tm)
             results = db.query_embeddings_batch(embs)
             for (name, _), (sco, (ans_id, tim), song_score) in zip(pending, results):
                 ans = db.songList[ans_id] if ans_id >= 0 else "error"
@@ -110,16 +128,16 @@ def main() -> None:
                 )
                 continue
 
-            tm_1 = time.time()
             if visualize:
                 from pfann_tpu.index.saliency import save_saliency_png
 
+                tm_1 = time.time()
                 embeddings, grads, specs = embedder.embed_with_saliency(wav)
                 save_saliency_png(viz_dir, name, grads, specs)
+                logger.info("compute embedding %.6fs", time.time() - tm_1)
+                pending.append((name, ("emb", embeddings)))
             else:
-                embeddings = embedder.embed(wav)
-            logger.info("compute embedding %.6fs", time.time() - tm_1)
-            pending.append((name, embeddings))
+                pending.append((name, ("wav", wav)))
             if len(pending) >= batch:
                 tm_1 = time.time()
                 flush()
