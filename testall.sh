@@ -32,8 +32,16 @@ match_prog() {
   [[ "$MODEL" == lm* ]] && echo "../pfa/matcher" || echo "python matcher.py"
 }
 
+db_name() {
+  # query-length variants share their base dataset's DB (synth2s -> synth)
+  case "$1" in
+    synth2s) echo synth;;
+    *) echo "$1";;
+  esac
+}
+
 run_match() {   # $1 = query list, $2 = result path
-  $(match_prog) "$1" "out/dbs/${MODEL}_$3" "$2"
+  $(match_prog) "$1" "out/dbs/${MODEL}_$(db_name "$3")" "$2"
 }
 
 run_accuracy() {  # $1 = expected csv, $2 = result path
@@ -47,7 +55,7 @@ run_accuracy() {  # $1 = expected csv, $2 = result path
 for action in "$@"; do
   case "$action" in
     -build)
-      python builder.py "$(db_list)" "out/dbs/${MODEL}_${DATASET}" \
+      python builder.py "$(db_list)" "out/dbs/${MODEL}_$(db_name "$DATASET")" \
         "out/models/${MODEL}" || exit 1;;
     -match)
       if [[ "$DATASET" == mirex ]]; then
