@@ -13,6 +13,12 @@ Unlike the reference (one query at a time, database.py:111), queries are
 batched through the device engine — decode in worker threads, embeddings
 and retrieval in batches — which is where the TPU's throughput comes from
 (see bench.py).  Output files are written in list order regardless.
+
+Multi-list mode (this framework's addition — model load + jit compile
+dominate a cold invocation, so evaluation sweeps amortize them):
+    python matcher.py --pairs <database dir> <list1> <result1> [<list2> <result2> ...]
+loads the model/DB once and matches every (query list, result file)
+pair in order; used by testall.sh's -match_snr across the 8 SNR sets.
 """
 
 import csv
@@ -32,45 +38,22 @@ from pfann_tpu.index.embedder import Embedder
 from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config
 
 
-def main() -> None:
-    MultiProcessInitLogger("nnmatcher")()
+def match_list(
+    embedder, db, params, file_list_for_query, result_file,
+    batch=32, visualize=False,
+) -> None:
+    """Match every query in one list file against an already-loaded DB."""
     logger = get_logger()
-
-    argv = list(sys.argv)
-    visualize_flag = "--visualize" in argv
-    if visualize_flag:
-        argv.remove("--visualize")
-    if len(argv) < 4:
-        print(
-            "Usage: python %s <query list> <database dir> <result file>"
-            " [batch] [--visualize]" % argv[0]
-        )
-        sys.exit()
-    file_list_for_query, dir_for_db, result_file = argv[1:4]
-    batch = int(argv[4]) if len(argv) > 4 else 32
     parent = os.path.dirname(os.path.abspath(result_file))
     os.makedirs(parent, exist_ok=True)
     result_file2 = os.path.splitext(result_file)[0] + "_detail.csv"
     result_file_score = result_file + ".bin"
-    params = read_config(os.path.join(dir_for_db, "configs.json"))
-
-    print("loading model...")
-    embedder = Embedder(
-        params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=128
-    )
-    print("model loaded")
-
-    print("loading database...")
-    db = Database(dir_for_db, params["indexer"], params["hop_size"])
-    print("database loaded")
 
     dataset = MusicDataset(file_list_for_query, params)
 
-    # gradient-saliency PNGs (reference matcher.py:118-155), enabled by
-    # the --visualize flag or "visualize": true in the indexer config;
-    # images land next to the result file
-    visualize = visualize_flag or params["indexer"].get("visualize", False)
-    viz_dir = os.path.dirname(os.path.abspath(result_file))
+    # gradient-saliency PNGs (reference matcher.py:118-155); images land
+    # next to the result file
+    viz_dir = parent
 
     tm_0 = time.time()
     with open(result_file, "w", encoding="utf8", newline="\n") as fout, open(
@@ -144,6 +127,60 @@ def main() -> None:
                 logger.info("search %.6fs rerank 0.000000s", time.time() - tm_1)
         flush()
     logger.info("total query time %.6fs", time.time() - tm_0)
+
+
+def load_model_and_db(dir_for_db):
+    params = read_config(os.path.join(dir_for_db, "configs.json"))
+    print("loading model...")
+    embedder = Embedder(
+        params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=128
+    )
+    print("model loaded")
+    print("loading database...")
+    db = Database(dir_for_db, params["indexer"], params["hop_size"])
+    print("database loaded")
+    return embedder, db, params
+
+
+def main() -> None:
+    MultiProcessInitLogger("nnmatcher")()
+
+    argv = list(sys.argv)
+    visualize_flag = "--visualize" in argv
+    if visualize_flag:
+        argv.remove("--visualize")
+    pairs_mode = "--pairs" in argv
+    if pairs_mode:
+        argv.remove("--pairs")
+
+    if pairs_mode:
+        if len(argv) < 4 or (len(argv) - 2) % 2 != 0:
+            print(
+                "Usage: python %s --pairs <database dir>"
+                " <list1> <result1> [<list2> <result2> ...]" % argv[0]
+            )
+            sys.exit()
+        dir_for_db = argv[1]
+        pairs = list(zip(argv[2::2], argv[3::2]))
+        batch = 32
+    else:
+        if len(argv) < 4:
+            print(
+                "Usage: python %s <query list> <database dir> <result file>"
+                " [batch] [--visualize]" % argv[0]
+            )
+            sys.exit()
+        dir_for_db = argv[2]
+        pairs = [(argv[1], argv[3])]
+        batch = int(argv[4]) if len(argv) > 4 else 32
+
+    embedder, db, params = load_model_and_db(dir_for_db)
+    visualize = visualize_flag or params["indexer"].get("visualize", False)
+    for file_list_for_query, result_file in pairs:
+        match_list(
+            embedder, db, params, file_list_for_query, result_file,
+            batch=batch, visualize=visualize,
+        )
 
 
 if __name__ == "__main__":

@@ -70,10 +70,22 @@ for action in "$@"; do
         run_accuracy "out/queries/${DATASET}/expected.csv" "out/results/${MODEL}_${DATASET}.txt" || exit 1
       fi;;
     -match_snr)
-      for snr in $SNRS; do
-        run_match "out/queries/${DATASET}_snr${snr}/list.txt" \
-          "out/results/${MODEL}_${DATASET}_snr${snr}.txt" "$DATASET" || exit 1
-      done;;
+      if [[ "$MODEL" == lm* ]]; then
+        for snr in $SNRS; do
+          run_match "out/queries/${DATASET}_snr${snr}/list.txt" \
+            "out/results/${MODEL}_${DATASET}_snr${snr}.txt" "$DATASET" || exit 1
+        done
+      else
+        # one matcher process for all SNR sets: model load + jit compile
+        # dominate a cold run, --pairs amortizes them 8x
+        pairs=()
+        for snr in $SNRS; do
+          pairs+=("out/queries/${DATASET}_snr${snr}/list.txt" \
+                  "out/results/${MODEL}_${DATASET}_snr${snr}.txt")
+        done
+        python matcher.py --pairs "out/dbs/${MODEL}_$(db_name "$DATASET")" \
+          "${pairs[@]}" || exit 1
+      fi;;
     -accuracy_snr)
       for snr in $SNRS; do
         echo "snr=$snr"
@@ -81,11 +93,20 @@ for action in "$@"; do
           "out/results/${MODEL}_${DATASET}_snr${snr}.txt" || exit 1
       done;;
     -match_snr_full)
-      for snr in $SNRS; do
-        $(match_prog) "out/queries/${DATASET}_snr${snr}/list.txt" \
-          "out/dbs/${MODEL}_full" \
-          "out/results/${MODEL}_${DATASET}_full_snr${snr}.txt" || exit 1
-      done;;
+      if [[ "$MODEL" == lm* ]]; then
+        for snr in $SNRS; do
+          $(match_prog) "out/queries/${DATASET}_snr${snr}/list.txt" \
+            "out/dbs/${MODEL}_full" \
+            "out/results/${MODEL}_${DATASET}_full_snr${snr}.txt" || exit 1
+        done
+      else
+        pairs=()
+        for snr in $SNRS; do
+          pairs+=("out/queries/${DATASET}_snr${snr}/list.txt" \
+                  "out/results/${MODEL}_${DATASET}_full_snr${snr}.txt")
+        done
+        python matcher.py --pairs "out/dbs/${MODEL}_full" "${pairs[@]}" || exit 1
+      fi;;
     -accuracy_snr_full)
       for snr in $SNRS; do
         echo "snr=$snr"
