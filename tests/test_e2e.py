@@ -243,6 +243,58 @@ def test_matcher_end_to_end(db_and_model, corpus, tmp_path):
     assert r["exact_acc"] == 100.0
 
 
+@pytest.mark.slow
+def test_matcher_pairs_mode(db_and_model, corpus, tmp_path):
+    """--pairs matches several (list, result) pairs in one process (the
+    path testall.sh -match_snr uses); each pair gets the full output
+    contract and correct answers.  slow: a full matcher subprocess."""
+    cfg, db_dir = db_and_model
+    rng = np.random.default_rng(23)
+    lists, expecteds = [], []
+    for part in range(2):
+        queries, expected = [], []
+        for qi in range(3):
+            song_id = int(rng.integers(0, len(corpus)))
+            path, wav = corpus[song_id]
+            start = int(rng.integers(0, len(wav) - 3 * 8000) // 4000 * 4000)
+            q = wav[start : start + 3 * 8000].copy()
+            qpath = str(tmp_path / f"p{part}_q{qi}.wav")
+            write_wav(qpath, q, 8000)
+            queries.append(qpath)
+            expected.append((qpath, path, start / 8000))
+        qlist = str(tmp_path / f"list{part}.txt")
+        with open(qlist, "w") as f:
+            f.writelines(q + "\n" for q in queries)
+        epath = str(tmp_path / f"expected{part}.csv")
+        with open(epath, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["query", "answer", "time"])
+            w.writerows(expected)
+        lists.append(qlist)
+        expecteds.append(epath)
+
+    results = [str(tmp_path / f"result{part}.txt") for part in range(2)]
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "matcher.py"), "--pairs", db_dir,
+         lists[0], results[0], lists[1], results[1]],
+        check=True, env=env, cwd=REPO,
+    )
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from accuracy import evaluate
+
+    for part in range(2):
+        assert os.path.exists(results[part])
+        score_bin = np.fromfile(results[part] + ".bin", dtype=np.float32)
+        assert score_bin.size == 3 * 5 * 2
+        detail = str(tmp_path / f"result{part}_detail.csv")
+        r = evaluate(expecteds[part], detail)
+        assert r["total"] == 3
+        assert r["song_acc"] == 100.0
+        assert r["exact_acc"] == 100.0
+
+
 def test_saliency_image_unit():
     """Rendering contract: R=inf-normed |grad|, G=energy dimmed by R,
     B=0, freq flipped, segment-marker columns zeroed."""
