@@ -95,8 +95,11 @@ def gen_for(train_val, args, params):
                 params,
             )
             base = os.path.splitext(os.path.split(name)[1])[0] + ".wav"
+            # the reference writes the music path under the mix_path
+            # column and vice versa (createdataset.py:151,158); here rows
+            # follow the header
             writer.writerow(
-                ["music/" + base, "mix/" + base, "noise/" + base,
+                ["mix/" + base, "music/" + base, "noise/" + base,
                  float(args.length)]
             )
             write_wav(os.path.join(args.out, "music", base), music, sample_rate)

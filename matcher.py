@@ -60,6 +60,8 @@ def match_list(
         result_file2, "w", encoding="utf8", newline="\n"
     ) as fout2, open(result_file_score, "wb") as fout_score:
         detail_writer = csv.writer(fout2)
+        # byte parity with the reference's header (matcher.py:84); its
+        # part_scores column is vestigial there too (upsco is always [])
         detail_writer.writerow(["query", "answer", "score", "time", "part_scores"])
 
         # (name, ("wav", segments) | ("emb", embeddings)); wavs are packed

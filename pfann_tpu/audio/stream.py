@@ -159,15 +159,19 @@ def stream_resample(
     base = 0  # global input index of buf[..., 0]; always a multiple of down
     done = 0  # global input index already emitted; multiple of down
 
-    def emit(upto: int, final: bool):
+    def emit(upto: int):
+        # interior block: both edges carry >= ctx samples of real context,
+        # so the FIR sees exactly the taps of a whole-file call.  The true
+        # signal tail is handled separately below (scipy's own edge
+        # zero-padding there matches the whole-file call).
         nonlocal buf, base, done
         s = max(done - ctx, 0)
         lo, hi = out_idx(done) - out_idx(s), out_idx(upto) - out_idx(s)
-        piece = buf[..., s - base : (None if final else upto + ctx - base)]
+        piece = buf[..., s - base : upto + ctx - base]
         res = resample_poly(
             np.asarray(piece, dtype=np.float32), up, down, axis=-1
         ).astype(np.float32)
-        out = res[..., lo:] if final else res[..., lo:hi]
+        out = res[..., lo:hi]
         done = upto
         keep = max(done - ctx, 0)
         buf = buf[..., keep - base :]
@@ -178,7 +182,7 @@ def stream_resample(
         c = np.asarray(c, dtype=np.float32)
         buf = c if buf is None else np.concatenate([buf, c], axis=-1)
         while base + buf.shape[-1] >= done + L + ctx:
-            yield emit(done + L, final=False)
+            yield emit(done + L)
     if buf is None:
         return
     total = base + buf.shape[-1]

@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pfann_tpu.index.search import finalize_song_scores, search_and_rerank
+from pfann_tpu.index.search import (
+    bucket_batch,
+    bucket_windows,
+    finalize_song_scores,
+    search_and_rerank,
+)
 from pfann_tpu.utils import read_file_list
 from pfann_tpu.utils.logging import get_logger
 
@@ -47,20 +52,6 @@ _BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
 
 def _bucket(n: int) -> int:
     for b in _BUCKETS:
-        if n <= b:
-            return b
-    return -(-n // 1024) * 1024
-
-
-# Batch-size buckets: ragged final batches / varying client batch sizes
-# must NOT recompile the whole device program (VERDICT r1 weak #4) —
-# queries beyond the real batch are zero-padded with valid=False rows and
-# their results dropped.
-_B_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
-
-
-def _bucket_batch(n: int) -> int:
-    for b in _B_BUCKETS:
         if n <= b:
             return b
     return -(-n // 1024) * 1024
@@ -224,7 +215,7 @@ class Database:
             # bucket the window count to multiples of 8 (zero filter rows
             # score zero) so ragged query lengths reuse the program
             S_max = max(f.shape[1] for f in filters)
-            S_max = min(-(-S_max // 8) * 8, self._align.max_query_windows())
+            S_max = bucket_windows(S_max, self._align.max_query_windows())
             allf = np.zeros((len(queries) * fsm, S_max, self.d), np.float32)
             for i, f in enumerate(filters):
                 allf[i * fsm : (i + 1) * fsm, : f.shape[1]] = f
@@ -258,7 +249,7 @@ class Database:
         self._ensure_raw_db()
         S = _bucket(max(q.shape[0] for q in queries))
         B = len(queries)
-        Bp = _bucket_batch(B)
+        Bp = bucket_batch(B)
         qpad = np.zeros((Bp, S, self.d), dtype=np.float32)
         valid = np.zeros((Bp, S), dtype=bool)
         for i, q in enumerate(queries):

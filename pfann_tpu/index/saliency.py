@@ -18,7 +18,10 @@ import os
 
 import numpy as np
 
-SEG_MARK = 32  # segment-boundary marker stride in mel frames (= T)
+# The reference hardcodes a 32-frame marker stride (matcher.py:154
+# `grads[:,:,::32] = 0`), only right for its default stft_hop;
+# saliency_image derives the stride from the actual per-segment frame
+# count instead.
 
 
 def saliency_image(grads: np.ndarray, specs: np.ndarray) -> np.ndarray:
@@ -42,7 +45,7 @@ def saliency_image(grads: np.ndarray, specs: np.ndarray) -> np.ndarray:
     green = energy * (1.0 - red)
     img = np.stack([red, green, np.zeros_like(red)], axis=-1)
     img = img[::-1]  # low frequencies at the bottom
-    img[:, ::SEG_MARK] = 0
+    img[:, :: grads.shape[2]] = 0  # segment-boundary markers
     return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 

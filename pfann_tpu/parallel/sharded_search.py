@@ -26,23 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pfann_tpu.index.search import mips_topk, seq_rerank
-
-
-_B_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
-
-
-def _bucket_batch(n: int) -> int:
-    for b in _B_BUCKETS:
-        if n <= b:
-            return b
-    return -(-n // 1024) * 1024
-
-
-def _bucket_windows(s: int, cap: int) -> int:
-    """Round the filter window count up to a multiple of 8 (capped at the
-    layout pad) — zero filter rows score zero, so padding S is free."""
-    return min(-(-s // 8) * 8, max(cap, s))
+from pfann_tpu.index.search import (
+    bucket_batch,
+    bucket_windows,
+    mips_topk,
+    seq_rerank,
+)
 
 
 def partition_songs(counts: np.ndarray, n_shards: int) -> list[list[int]]:
@@ -111,7 +100,6 @@ class ShardedDatabase:
         song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
         groups = partition_songs(np.asarray(counts), n_shards)
         songs_max = max((len(g) for g in groups), default=0)
-        song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
         shard = NamedSharding(mesh, P(axis))
 
         if engine == "align":
@@ -147,6 +135,7 @@ class ShardedDatabase:
                 (int(sum(counts[s] for s in g)) for g in groups), default=1
             )
             rows_max = max(rows_max, 8)
+            song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
             db_sh = np.zeros((n_shards, rows_max, self.d), dtype=np.float32)
             song_pos_sh = np.zeros((n_shards, songs_max + 1), dtype=np.int32)
             for si, g in enumerate(groups):
@@ -232,13 +221,13 @@ class ShardedDatabase:
         # bucket S and B so ragged batches / varying query lengths reuse
         # the compiled program (zero-padded rows contribute zero score);
         # the pallas kernel additionally needs B in full 128-lane groups
-        S = _bucket_windows(S, self.pad)
+        S = bucket_windows(S, self.pad)
         if self.engine == "align" and self.impl == "pallas":
             from pfann_tpu.index.pallas_align import LANE
 
             Bp = -(-B // LANE) * LANE
         else:
-            Bp = _bucket_batch(B)
+            Bp = bucket_batch(B)
         qpad = np.zeros((Bp, S, self.d), dtype=np.float32)
         valid = np.zeros((Bp, S), dtype=bool)
         for i, q in enumerate(queries):

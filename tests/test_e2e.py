@@ -297,17 +297,19 @@ def test_matcher_pairs_mode(db_and_model, corpus, tmp_path):
 
 def test_saliency_image_unit():
     """Rendering contract: R=inf-normed |grad|, G=energy dimmed by R,
-    B=0, freq flipped, segment-marker columns zeroed."""
-    from pfann_tpu.index.saliency import SEG_MARK, saliency_image
+    B=0, freq flipped, segment-marker columns zeroed.  T=20 (not the
+    reference's hardcoded 32) proves the marker stride follows the
+    actual per-segment frame count."""
+    from pfann_tpu.index.saliency import saliency_image
 
     rng = np.random.default_rng(0)
-    S, F, T = 3, 16, SEG_MARK
+    S, F, T = 3, 16, 20
     grads = rng.standard_normal((S, F, T)).astype(np.float32)
     specs = rng.standard_normal((S, F, T)).astype(np.float32)
     img = saliency_image(grads, specs)
     assert img.shape == (F, S * T, 3) and img.dtype == np.uint8
     assert (img[..., 2] == 0).all()
-    assert (img[:, ::SEG_MARK] == 0).all()
+    assert (img[:, ::T] == 0).all()
     # red channel: each (segment, frame) column's max |grad| maps to 255
     col = np.abs(grads[1, :, 5])
     want = (col / col.max() * 255).astype(np.uint8)[::-1]

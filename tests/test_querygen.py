@@ -179,6 +179,9 @@ def test_denoise_createdataset_cli(pipeline_root, tmp_path):
             os.path.join(out, "denoise_%s.csv" % split))))
         assert rows[0] == ["mix_path", "music_path", "noise_path", "duration"]
         assert len(rows) == 5  # 4 songs + header
+        # rows follow the header (the reference swaps mix/music here)
+        assert rows[1][0].startswith("mix/")
+        assert rows[1][1].startswith("music/")
     base = rows[1][0].split("/")[1]
     music, _ = get_audio(os.path.join(out, "music", base))
     noise, _ = get_audio(os.path.join(out, "noise", base))
