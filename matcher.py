@@ -154,17 +154,21 @@ def main() -> None:
     pairs_mode = "--pairs" in argv
     if pairs_mode:
         argv.remove("--pairs")
+    batch = 32
+    if "--batch" in argv:
+        at = argv.index("--batch")
+        batch = int(argv[at + 1])
+        del argv[at : at + 2]
 
     if pairs_mode:
         if len(argv) < 4 or (len(argv) - 2) % 2 != 0:
             print(
-                "Usage: python %s --pairs <database dir>"
+                "Usage: python %s --pairs [--batch N] <database dir>"
                 " <list1> <result1> [<list2> <result2> ...]" % argv[0]
             )
             sys.exit()
         dir_for_db = argv[1]
         pairs = list(zip(argv[2::2], argv[3::2]))
-        batch = 32
     else:
         if len(argv) < 4:
             print(
