@@ -211,6 +211,44 @@ class ShardedDatabase:
 
         return jax.jit(sharded)
 
+    def _make_top1_fn(self, S: int, Bp: int):
+        """Device-side top-1 finalize over the sharded align tables: only
+        (score, flat_index, offset) per query crosses the host boundary —
+        the serving path's answer — instead of the [B, n_songs] tables
+        (which the matcher still needs for its .bin contract)."""
+        assert self.engine == "align"
+        qfn = self._make_query_fn(S, Bp)
+        inv_len = jnp.float32(1.0 / S)
+
+        @jax.jit
+        def top1(db_sh, qpad):
+            valid = jnp.ones((Bp, S), dtype=bool)
+            best, argoff = qfn(db_sh, qpad, valid)  # [n_shards, Bp, songs]
+            sc = (best * inv_len).astype(jnp.float32)
+            flat = sc.transpose(1, 0, 2).reshape(Bp, -1)
+            off_flat = argoff.transpose(1, 0, 2).reshape(Bp, -1)
+            idx = jnp.argmax(flat, axis=1)
+            val = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0]
+            off = jnp.take_along_axis(off_flat, idx[:, None], 1)[:, 0]
+            return val, idx, off
+
+        return top1
+
+    def search_top1_device(self, qpad):
+        """qpad: device [B, S, d] (full-length queries).  Returns device
+        (score [B], flat_idx [B], offset [B]); map flat_idx to global
+        song ids with :meth:`flat_to_song`."""
+        B, S, _ = qpad.shape
+        key = ("top1", S, B)
+        if key not in self._query_cache:
+            self._query_cache[key] = self._make_top1_fn(S, B)
+        return self._query_cache[key](self._db, qpad)
+
+    def flat_to_song(self, flat_idx: np.ndarray) -> np.ndarray:
+        """Map flat (shard * songs_max + slot) indices from
+        search_top1_device to global song ids."""
+        return self.song_map.reshape(-1)[np.asarray(flat_idx)]
+
     def query_batch(
         self, queries: list[np.ndarray], pad_to: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -150,6 +150,39 @@ def test_sharded_align_engine_matches_single_device():
         np.testing.assert_allclose(stime[0][pos], s_t[0][pos], atol=0)
 
 
+def test_sharded_top1_device_matches_query_batch():
+    """The serving finalize (search_top1_device) returns the same best
+    song as the full-table query_batch path, with only scalars-per-query
+    crossing the host boundary."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    db, counts, song_pos = make_db(rng, n_songs=12, min_len=10, max_len=30)
+    mesh = make_mesh("db", 4)
+    sdb = ShardedDatabase(
+        db, counts, mesh, engine="align", db_dtype=jnp.float32, align_pad=16
+    )
+    S = 6
+    queries, want = [], []
+    for song in (2, 7, 11, 0):
+        off = int(rng.integers(0, counts[song] - S))
+        q = db[song_pos[song] + off : song_pos[song] + off + S].copy()
+        q += 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        queries.append(q)
+        want.append(song)
+
+    smax, _ = sdb.query_batch(queries)
+    qpad = jnp.asarray(np.stack(queries))
+    val, idx, off = sdb.search_top1_device(qpad)
+    songs = sdb.flat_to_song(idx)
+    for b, song in enumerate(want):
+        assert songs[b] == song == int(np.argmax(smax[b]))
+        np.testing.assert_allclose(
+            float(val[b]), float(smax[b].max()), rtol=1e-5
+        )
+
+
 def test_sharded_align_pallas_layout_parity_interpret():
     """The TPU multi-chip serve path is align+pallas (VERDICT r1 weak #2);
     prove shard-parity of that exact layout/kernel via interpret mode on
