@@ -28,8 +28,14 @@ db_list() {
 }
 
 match_prog() {
-  # landmark-system models are matched by the external ../pfa matcher
-  [[ "$MODEL" == lm* ]] && echo "../pfa/matcher" || echo "python matcher.py"
+  # landmark-system models: the external ../pfa matcher if present
+  # (reference setup), else this repo's self-contained one
+  if [[ "$MODEL" == lm* ]]; then
+    if [[ -x ../pfa/matcher ]]; then echo "../pfa/matcher";
+    else echo "python lm_matcher.py"; fi
+  else
+    echo "python matcher.py"
+  fi
 }
 
 db_name() {
@@ -55,8 +61,14 @@ run_accuracy() {  # $1 = expected csv, $2 = result path
 for action in "$@"; do
   case "$action" in
     -build)
-      python builder.py "$(db_list)" "out/dbs/${MODEL}_$(db_name "$DATASET")" \
-        "out/models/${MODEL}" || exit 1;;
+      if [[ "$MODEL" == lm* ]]; then
+        python lm_builder.py "$(db_list)" \
+          "out/dbs/${MODEL}_$(db_name "$DATASET")" || exit 1
+      else
+        python builder.py "$(db_list)" \
+          "out/dbs/${MODEL}_$(db_name "$DATASET")" \
+          "out/models/${MODEL}" || exit 1
+      fi;;
     -match)
       if [[ "$DATASET" == mirex ]]; then
         run_match lists/mirex-query.txt "out/results/${MODEL}_${DATASET}.txt" "$DATASET" || exit 1
