@@ -38,7 +38,10 @@ def main():
         if query not in gt:
             print("query %s in prediction file not found!!" % query)
             raise SystemExit(1)
-        scores.append((sco_bin[i, song_ids[ans], 0], ans == gt[query]))
+        if ans in song_ids:
+            scores.append((sco_bin[i, song_ids[ans], 0], ans == gt[query]))
+        else:  # matcher "error" row (undecodable / unmatchable query)
+            scores.append((0.0, False))
     np.save(args.out, np.array(scores, dtype=np.float32))
 
 

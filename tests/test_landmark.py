@@ -180,3 +180,18 @@ def test_lm_cli_end_to_end(tmp_path, songs):
     assert sco.shape == (4, 2)
     assert (sco[:, 1] == 1).all()  # all answers correct above
     assert (sco[:, 0] > 0).all()
+
+    # an "error" answer row (query with no hashes) must yield a
+    # (0, incorrect) score instead of crashing lmscore
+    with open(result) as f:
+        lines = f.read()
+    with open(result, "w") as f:
+        f.write(lines.replace(rows[0][1], "error", 1))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "ensemble", "lmscore.py"),
+         db_list, expected, result, out_npy],
+        check=True, env=env, cwd=REPO,
+    )
+    sco = np.load(out_npy)
+    assert sco[0, 0] == 0 and sco[0, 1] == 0
+    assert (sco[1:, 1] == 1).all()
