@@ -29,6 +29,11 @@ def collect(model: str, dataset: str) -> dict[int, dict]:
         detail = os.path.join(
             "out", "results", "%s_%s_snr%d_detail.csv" % (model, dataset, snr)
         )
+        if not os.path.exists(detail):
+            # landmark results carry their CSV as <result>.txt.csv
+            detail = os.path.join(
+                "out", "results", "%s_%s_snr%d.txt.csv" % (model, dataset, snr)
+            )
         rows[snr] = evaluate(expected, detail)
     return rows
 
