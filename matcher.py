@@ -178,7 +178,7 @@ def main() -> None:
             sys.exit()
         dir_for_db = argv[2]
         pairs = [(argv[1], argv[3])]
-        batch = int(argv[4]) if len(argv) > 4 else 32
+        batch = int(argv[4]) if len(argv) > 4 else batch
 
     embedder, db, params = load_model_and_db(dir_for_db)
     visualize = visualize_flag or params["indexer"].get("visualize", False)

@@ -20,7 +20,8 @@ in the thesis too — BASELINE.md row "Landmark system", hardware CPU):
   2. constellation = local maxima over a (freq x time) neighbourhood,
      magnitude-gated relative to the global median;
   3. anchor->target pairs in a forward target zone, packed into int32
-     hashes  (f_anchor [9b] | df+256 [9b] | dt [6b]);
+     hashes  (f_anchor [10b: rfft(1024) -> 513 bins] | df+256 [9b] |
+     dt [6b]);
   4. index = hashes sorted once, (song, t_anchor) payloads alongside;
      queries do a searchsorted range per hash and vote on
      (song, t_db - t_query); the winning histogram bin is the score and

@@ -211,18 +211,23 @@ class ShardedDatabase:
 
         return jax.jit(sharded)
 
-    def _make_top1_fn(self, S: int, Bp: int):
+    def _make_top1_fn(self, Sp: int, Bp: int):
         """Device-side top-1 finalize over the sharded align tables: only
         (score, flat_index, offset) per query crosses the host boundary —
         the serving path's answer — instead of the [B, n_songs] tables
-        (which the matcher still needs for its .bin contract)."""
+        (which the matcher still needs for its .bin contract).
+
+        Offsets are pad-corrected (DB-hop units relative to song start),
+        matching query_batch / AlignmentEngine._top1 semantics.  inv_len
+        is traced so one compiled program serves every true query length
+        inside the (Sp, Bp) bucket."""
         assert self.engine == "align"
-        qfn = self._make_query_fn(S, Bp)
-        inv_len = jnp.float32(1.0 / S)
+        qfn = self._make_query_fn(Sp, Bp)
+        pad = self.pad
 
         @jax.jit
-        def top1(db_sh, qpad):
-            valid = jnp.ones((Bp, S), dtype=bool)
+        def top1(db_sh, qpad, inv_len):
+            valid = jnp.ones((Bp, Sp), dtype=bool)
             best, argoff = qfn(db_sh, qpad, valid)  # [n_shards, Bp, songs]
             sc = (best * inv_len).astype(jnp.float32)
             flat = sc.transpose(1, 0, 2).reshape(Bp, -1)
@@ -230,19 +235,39 @@ class ShardedDatabase:
             idx = jnp.argmax(flat, axis=1)
             val = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0]
             off = jnp.take_along_axis(off_flat, idx[:, None], 1)[:, 0]
-            return val, idx, off
+            return val, idx, off - pad
 
         return top1
 
     def search_top1_device(self, qpad):
         """qpad: device [B, S, d] (full-length queries).  Returns device
-        (score [B], flat_idx [B], offset [B]); map flat_idx to global
-        song ids with :meth:`flat_to_song`."""
+        (score [B], flat_idx [B], offset [B] — pad-corrected, DB-hop
+        units from song start); map flat_idx to global song ids with
+        :meth:`flat_to_song`.
+
+        S and B are bucketed exactly like query_batch (zero query rows
+        score zero; results are sliced back to B), so ragged serving
+        batches reuse the compiled program and the pallas kernel always
+        sees full 128-lane groups."""
         B, S, _ = qpad.shape
-        key = ("top1", S, B)
+        Sp = bucket_windows(S, self.pad)
+        if self.engine == "align" and self.impl == "pallas":
+            from pfann_tpu.index.pallas_align import LANE
+
+            Bp = -(-B // LANE) * LANE
+        else:
+            Bp = bucket_batch(B)
+        if Sp != S or Bp != B:
+            qpad = jnp.pad(qpad, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        key = ("top1", Sp, Bp)
         if key not in self._query_cache:
-            self._query_cache[key] = self._make_top1_fn(S, B)
-        return self._query_cache[key](self._db, qpad)
+            self._query_cache[key] = self._make_top1_fn(Sp, Bp)
+        val, idx, off = self._query_cache[key](
+            self._db, qpad, jnp.float32(1.0 / S)
+        )
+        if Bp != B:
+            val, idx, off = val[:B], idx[:B], off[:B]
+        return val, idx, off
 
     def flat_to_song(self, flat_idx: np.ndarray) -> np.ndarray:
         """Map flat (shard * songs_max + slot) indices from

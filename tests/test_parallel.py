@@ -172,7 +172,7 @@ def test_sharded_top1_device_matches_query_batch():
         queries.append(q)
         want.append(song)
 
-    smax, _ = sdb.query_batch(queries)
+    smax, stime = sdb.query_batch(queries)
     qpad = jnp.asarray(np.stack(queries))
     val, idx, off = sdb.search_top1_device(qpad)
     songs = sdb.flat_to_song(idx)
@@ -181,6 +181,16 @@ def test_sharded_top1_device_matches_query_batch():
         np.testing.assert_allclose(
             float(val[b]), float(smax[b].max()), rtol=1e-5
         )
+        # offset parity: search_top1_device must pad-correct like
+        # query_batch does (ADVICE r2: it used to return raw argoff)
+        assert int(off[b]) == int(stime[b][song])
+
+    # ragged batch: B not a bucket size exercises the pad/slice path
+    val3, idx3, off3 = sdb.search_top1_device(qpad[:3])
+    np.testing.assert_allclose(np.asarray(val3), np.asarray(val[:3]),
+                               rtol=1e-5)
+    assert list(np.asarray(idx3)) == list(np.asarray(idx[:3]))
+    assert list(np.asarray(off3)) == list(np.asarray(off[:3]))
 
 
 def test_sharded_align_pallas_layout_parity_interpret():
