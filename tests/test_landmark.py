@@ -195,3 +195,57 @@ def test_lm_cli_end_to_end(tmp_path, songs):
     sco = np.load(out_npy)
     assert sco[0, 0] == 0 and sco[0, 1] == 0
     assert (sco[1:, 1] == 1).all()
+
+
+def _pair_peaks_loop(peaks):
+    """Literal per-peak transcription of the pairing rules (the pre-
+    vectorization implementation) — golden reference for pair_peaks."""
+    from pfann_tpu.landmark.core import DF_MAX, DT_MIN, FANOUT
+
+    n = peaks.shape[0]
+    if n < 2:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    f, t = peaks[:, 0].astype(np.int64), peaks[:, 1].astype(np.int64)
+    hashes, anchors = [], []
+    for i in range(n - 1):
+        j, taken = i + 1, 0
+        while j < n and taken < FANOUT:
+            dt = t[j] - t[i]
+            if dt > DT_MAX:
+                break
+            df = f[j] - f[i]
+            if dt >= DT_MIN and abs(df) <= DF_MAX:
+                hashes.append((f[i] << 15) | ((df + 256) << 6) | dt)
+                anchors.append(t[i])
+                taken += 1
+            j += 1
+    return (np.asarray(hashes, dtype=np.int32),
+            np.asarray(anchors, dtype=np.int32))
+
+
+def test_pair_peaks_matches_loop_golden(songs):
+    """The vectorized pairing (searchsorted windows + ragged expansion +
+    running fanout cap) produces byte-identical hashes to the per-peak
+    scan on real constellations and on adversarial synthetic ones."""
+    from pfann_tpu.landmark.core import pair_peaks
+
+    for wav in songs[:3]:
+        peaks = find_peaks(spectrogram(wav))
+        h_v, a_v = pair_peaks(peaks)
+        h_l, a_l = _pair_peaks_loop(peaks)
+        assert h_v.shape == h_l.shape and h_v.shape[0] > 100
+        np.testing.assert_array_equal(h_v, h_l)
+        np.testing.assert_array_equal(a_v, a_l)
+
+    rng = np.random.default_rng(0)
+    # adversarial: many same-frame peaks, dense frames (fanout saturates),
+    # sparse tails (empty target windows), and the trivial sizes
+    for n, tmax in ((300, 40), (80, 5), (500, 2000), (2, 1), (1, 1)):
+        t = np.sort(rng.integers(0, tmax, n))
+        f = rng.integers(0, 513, n)
+        order = np.lexsort((f, t))  # stable time order, f asc within t
+        peaks = np.stack([f[order], t[order]], axis=1).astype(np.int32)
+        h_v, a_v = pair_peaks(peaks)
+        h_l, a_l = _pair_peaks_loop(peaks)
+        np.testing.assert_array_equal(h_v, h_l)
+        np.testing.assert_array_equal(a_v, a_l)
