@@ -117,12 +117,22 @@ class Database:
         dtype = self.params.get("db_dtype", "bfloat16")
         np_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
-        # engine: 'align' (exhaustive alignment, the TPU-native default) or
-        # 'topk' (reference-style per-segment top-k + rerank).  score_alpha
+        # engine: 'align' (exhaustive alignment, the TPU-native default),
+        # 'screen' (two-stage: coarse pooled prune + exact alignment —
+        # the faiss-IVF role for large DBs, index/screen.py), or 'topk'
+        # (reference-style per-segment top-k + rerank).  score_alpha
         # scoring is nonlinear -> topk engine only (see index/align.py).
         engine = self.params.get("engine", "align")
         if self.score_alpha != 0:
             engine = "topk"
+        # screen: true | false | 'auto' (default) — auto upgrades the
+        # exhaustive engine to the two-stage one once the DB is past the
+        # scale where the exhaustive scan falls under the 5k q/s target
+        screen = self.params.get("screen", "auto")
+        if engine == "align" and not self.params.get("sharded", False) and (
+            screen is True or (screen == "auto" and len(counts) >= 20_000)
+        ):
+            engine = "screen"
         self.engine = engine
         self._np_dtype = np_dtype
         self._device = device
@@ -144,6 +154,14 @@ class Database:
 
             self._align = AlignmentEngine(
                 emb, counts, score_dtype=np_dtype, device=device
+            )
+        elif engine == "screen":
+            from pfann_tpu.index.screen import ScreenedAlignmentEngine
+
+            self._align = ScreenedAlignmentEngine(
+                emb, counts, score_dtype=np_dtype, device=device,
+                k=int(self.params.get("screen_pool_k", 4)),
+                top_m=int(self.params.get("screen_top_m", 32)),
             )
         else:
             self._ensure_raw_db()
@@ -186,7 +204,7 @@ class Database:
         )
 
     def _use_align(self, n_rows: int) -> bool:
-        if self.engine != "align":
+        if self.engine not in ("align", "screen"):
             return False
         sub_len = -(-n_rows // self.frame_shift_mul)
         max_windows = (

@@ -1,0 +1,250 @@
+"""Two-stage screened retrieval: coarse prune + exact alignment.
+
+This is the faiss-IVF role (reference builder.py:114 ``IVF200,PQ64x8np``,
+database.py:121) re-imagined TPU-first.  The exhaustive-alignment engine
+(index/align.py) is compute-bound at the MXU's bf16 peak, so scaling past
+~10k tracks needs algorithmic *work reduction*, not faster kernels — but
+an inverted-list index is the wrong shape for a TPU (data-dependent list
+lengths, scatter/gather control flow).  Instead both stages stay dense:
+
+  Stage 1 (screen): an overlap-POOLED copy of the database — bin j is
+    the sum of rows [j*k, j*k + 2k), i.e. window 2k at stride k — is
+    scanned with the same fused alignment kernel against COLLAPSED query
+    filters qc[p] = sum of all query windows i with i//k == p.  For a
+    true alignment at offset o (any phase r = o mod k), window i's
+    matching row o+i always falls inside pooled bin (o//k) + i//k
+    (because r + (i mod k) < 2k), so the coarse score of the true song
+    concentrates around the FULL S matched inner products — not a
+    strided subset — while impostors stay near 0.  The matmul still
+    shrinks by k (pooled rows) * k (collapsed diagonals) ~= k^2 vs the
+    exhaustive scan, because the window folding happens in the tiny
+    filter, not the big operand.
+
+  Stage 2 (exact): the top-M songs per query are gathered as whole
+    regions [M, R, d] and rescored with the *exact* alignment sum at
+    every offset — identical math to the exhaustive engine, so the final
+    (score, offset) of any surviving song is bit-identical to it.
+
+Unlike IVF (whose nprobe recall is a corpus-dependent gamble), the only
+approximation here is the top-M cut on a signal with ~Sc/sigma of margin;
+the recall guard test (tests/test_screen.py) asserts screened top-1 ==
+exhaustive top-1 on noisy queries.
+
+Regime boundary (measured on TPU, 600-song DB, d=128, S=19, k=4,
+top_m=32): at per-window true cosine ~0.6 (production embeddings of
+noisy audio) screen recall == exhaustive == 100%; pushed to cosine
+~0.19 (query 96% noise by energy) the exhaustive scan still resolves
+128/128 while the screen's survivor set drops the winner 18% of the
+time — pooling sums the db's neighboring rows incoherently, so the
+coarse stage pays an SNR price for its k^2 work cut.  If serving ever
+needs that regime, raise screen_top_m / lower screen_pool_k (cost is
+linear in M and 1/k) — or use the exhaustive engine, which is the
+default below the auto threshold anyway.
+
+Memory: pooled copy adds 1/k of the db; the gather materializes
+[B, M, R, d] per batch (~1.3 GB bf16 at B=1024, M=32, 100k-track R) —
+streamed, not resident.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfann_tpu.index.align import DEFAULT_PAD, alignment_core
+
+
+class ScreenedAlignmentEngine:
+    """Drop-in for AlignmentEngine (same search/search_top1_device
+    contract) with a coarse screening pass in front of the exact scan.
+
+    Parameters
+    ----------
+    k : int          time-pooling factor of the coarse copy (region rows
+                     summed k-at-a-time; query windows taken every k-th)
+    top_m : int      songs surviving the screen, per query
+    backend : str    'exact' | 'approx' | 'auto' — top-M selection op
+                     (lax.top_k vs the TPU-optimized approx_max_k)
+    """
+
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        counts: np.ndarray,
+        pad: int = DEFAULT_PAD,
+        k: int = 4,
+        top_m: int = 32,
+        score_dtype=jnp.bfloat16,
+        device=None,
+        impl: str = "auto",
+        backend: str = "auto",
+        interpret: bool = False,
+    ):
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if backend == "auto":
+            backend = "approx" if jax.default_backend() == "tpu" else "exact"
+        self.impl = impl
+        self.backend = backend
+        self.interpret = interpret
+        self.k = k
+        self.pad = pad
+        self.n_songs = len(counts)
+        self.top_m = min(top_m, self.n_songs)
+        self.d = embeddings.shape[1] if embeddings.size else 128
+        self.score_dtype = score_dtype
+
+        from pfann_tpu.index.pallas_align import LANE_B, PALLAS_G
+
+        self.max_batch = LANE_B if impl == "pallas" else 128
+
+        # region geometry: R a multiple of 8k so the pooled region length
+        # Rc = R/k satisfies the kernel's sublane-multiple constraint
+        lmax = int(counts.max()) if self.n_songs else 0
+        assert pad % k == 0, (pad, k)
+        R = -(-(pad + lmax) // (8 * k)) * (8 * k)
+        self.R = R
+        self.Rc = R // k
+        n_pad = -(-max(self.n_songs, 1) // PALLAS_G) * PALLAS_G
+        self.n_pad = n_pad
+
+        song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
+        db3 = np.zeros((n_pad, R, self.d), dtype=np.float32)
+        for s in range(self.n_songs):
+            c = int(counts[s])
+            db3[s, pad : pad + c] = embeddings[song_pos[s] : song_pos[s] + c]
+        # overlap pooling: bin j = rows [jk, jk+2k).  The +1 shifted add
+        # crosses region boundaries, which is exact: the next region's
+        # first bins pool its leading PAD zeros.
+        c1 = db3.reshape(n_pad * self.Rc, k, self.d).sum(axis=1)
+        coarse = c1.copy()
+        coarse[:-1] += c1[1:]
+        if impl != "pallas":
+            # XLA alignment_core windows overhang the last region
+            coarse = np.pad(coarse, ((0, pad // k), (0, 0)))
+        self._db3 = jax.device_put(jnp.asarray(db3, dtype=score_dtype), device)
+        self._coarse = jax.device_put(
+            jnp.asarray(coarse, dtype=score_dtype), device
+        )
+        self._fns: dict = {}
+
+    def max_query_windows(self) -> int:
+        return self.pad
+
+    # ------------------------------------------------------------------
+    def _query_fn(self, S: int):
+        """Jitted two-stage query for a window-count bucket: returns per
+        query the M surviving (global song id, exact best score sum,
+        exact best region offset)."""
+        if S in self._fns:
+            return self._fns[S]
+        k, Rc, R, M = self.k, self.Rc, self.R, self.top_m
+        n_songs, n_pad = self.n_songs, self.n_pad
+        Sc = -(-S // k)
+        impl, interpret, backend = self.impl, self.interpret, self.backend
+        dt = self.score_dtype
+
+        @jax.jit
+        def fn(db3, coarse, qpad):
+            # ---- stage 1: coarse screen over the pooled copy.  Collapse
+            # the S query windows onto their Sc coarse diagonals (sum of
+            # windows sharing i//k) — full signal, 1/k the filter rows.
+            qc = jnp.pad(qpad, ((0, 0), (0, Sc * k - S), (0, 0)))
+            qc = qc.reshape(qpad.shape[0], Sc, k, -1).sum(axis=2)
+            best_c, _ = alignment_core(
+                coarse, qc, R=Rc, S=Sc, n_songs=n_pad,
+                score_dtype=dt, impl=impl, interpret=interpret,
+            )
+            best_c = best_c[:, :n_songs]  # drop padding songs
+            if backend == "approx":
+                _, cand = jax.lax.approx_max_k(best_c, M, recall_target=0.99)
+            else:
+                _, cand = jax.lax.top_k(best_c, M)  # [B, M]
+
+            # ---- stage 2: exact alignment over the surviving regions
+            g = jnp.take(db3, cand, axis=0)  # [B, M, R, d]
+            scores = jnp.einsum(
+                "bmrd,bsd->bmrs", g, qpad.astype(dt),
+                preferred_element_type=dt,
+            )
+            scores = jnp.pad(scores, ((0, 0), (0, 0), (0, S), (0, 0)))
+            align = scores[:, :, 0:R, 0].astype(jnp.float32)
+            for i in range(1, S):
+                align = align + scores[:, :, i : R + i, i].astype(jnp.float32)
+            best = jnp.max(align, axis=2)  # [B, M]
+            offs = jax.lax.broadcasted_iota(jnp.int32, align.shape, 2)
+            argoff = jnp.max(
+                jnp.where(align >= best[:, :, None], offs, -1), axis=2
+            )
+            return cand, best, argoff
+
+        self._fns[S] = fn
+        return fn
+
+    def _dispatch(self, filters):
+        """Chunk over max_batch (padding the tail chunk) WITHOUT host
+        syncs; returns a list of (cand, best, argoff) device triples.
+        ``filters`` may be a host array or an already-staged device array
+        (the serving path keeps queries on-accelerator; full chunks pass
+        through untouched)."""
+        B, S, _ = filters.shape
+        fn = self._query_fn(S)
+        outs = []
+        for i in range(0, B, self.max_batch):
+            chunk = filters[i : i + self.max_batch]
+            if chunk.shape[0] < self.max_batch:
+                chunk = np.concatenate(
+                    [np.asarray(chunk, dtype=np.float32),
+                     np.zeros((self.max_batch - chunk.shape[0], S, self.d),
+                              np.float32)]
+                )
+            outs.append(fn(self._db3, self._coarse, jnp.asarray(chunk)))
+        return outs
+
+    def search_device(self, filters):
+        return self._dispatch(filters)
+
+    def search_top1_device(self, qpad):
+        """Serving fast path mirroring AlignmentEngine.search_top1_device:
+        per chunk a (song [B], score_sum [B], t [B]) device triple — song
+        ids are GLOBAL (the candidate map is applied on device)."""
+        pad = self.pad
+        outs = []
+        for cand, best, argoff in self._dispatch(qpad):
+            m = jnp.argmax(best, axis=1)
+            take = jax.vmap(lambda c, b, o, i: (c[i], b[i], o[i]))(
+                cand, best, argoff, m
+            )
+            outs.append(
+                (take[0].astype(jnp.int32), take[1],
+                 (take[2] - pad).astype(jnp.float32))
+            )
+        return outs
+
+    def search(
+        self, filters: np.ndarray, sub_lens: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """AlignmentEngine.search contract: ([B, n_songs] mean-score,
+        [B, n_songs] offset) tables.  Unscreened songs keep score 0 /
+        time 0 — the reference's untouched-candidate convention
+        (matcher .bin rows only carry rerank results for candidates,
+        database.py:142-163)."""
+        B = filters.shape[0]
+        song_score = np.zeros((B, self.n_songs), dtype=np.float32)
+        song_t = np.zeros((B, self.n_songs), dtype=np.float32)
+        at = 0
+        for cand, best, argoff in self._dispatch(filters):
+            cand = np.asarray(cand)
+            best = np.asarray(best)
+            argoff = np.asarray(argoff)
+            n = min(cand.shape[0], B - at)
+            rows = np.arange(at, at + n)[:, None]
+            song_score[rows, cand[:n]] = (
+                best[:n] / np.maximum(sub_lens[at : at + n], 1)[:, None]
+            )
+            song_t[rows, cand[:n]] = argoff[:n] - self.pad
+            at += n
+        return song_score, song_t

@@ -1,0 +1,170 @@
+"""Two-stage screened retrieval (index/screen.py): the screening pass
+must never change the answer — screened top-1 == exhaustive top-1, and
+the surviving songs' (score, offset) are the exact alignment values."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pfann_tpu.index.align import AlignmentEngine, queries_to_filters
+from pfann_tpu.index.screen import ScreenedAlignmentEngine
+
+
+def make_db(rng, n_songs=48, min_len=12, max_len=40, d=128):
+    counts = rng.integers(min_len, max_len, n_songs).astype(np.int64)
+    emb = rng.standard_normal((int(counts.sum()), d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    song_pos = np.pad(np.cumsum(counts), (1, 0))
+    return emb, counts, song_pos
+
+
+def noisy_queries(rng, emb, counts, song_pos, n, S, noise=0.3):
+    queries, want_song, want_off = [], [], []
+    for _ in range(n):
+        song = int(rng.integers(0, len(counts)))
+        off = int(rng.integers(0, max(counts[song] - S, 1)))
+        q = emb[song_pos[song] + off :][:S].copy()
+        q += noise * rng.standard_normal(q.shape).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qpad = np.zeros((S, emb.shape[1]), np.float32)
+        qpad[: q.shape[0]] = q
+        queries.append(qpad)
+        want_song.append(song)
+        want_off.append(off)
+    return np.stack(queries), want_song, want_off
+
+
+def test_screened_matches_exhaustive_top1():
+    """Recall guard (VERDICT r3 task #1 'done' criterion): screened
+    top-1 == exhaustive top-1 on noisy queries, with exact score/offset
+    agreement for every song the screen lets through.
+
+    Regime matches production embeddings: d=128, a window count in the
+    10 s-query ballpark, and noise heavy enough that the per-window true
+    inner product is ~0.6 (the coarse screen's statistical margin is
+    ~8 sigma here — see index/screen.py docstring; at far harsher
+    settings the screen, like any prune, can drop the winner)."""
+    rng = np.random.default_rng(0)
+    emb, counts, song_pos = make_db(rng, min_len=16)
+    full = AlignmentEngine(emb, counts, pad=16, score_dtype=jnp.float32,
+                           impl="xla")
+    scr = ScreenedAlignmentEngine(
+        emb, counts, pad=16, k=4, top_m=8, score_dtype=jnp.float32,
+        impl="xla", backend="exact",
+    )
+    S = 12
+    filters, want_song, want_off = noisy_queries(
+        rng, emb, counts, song_pos, n=24, S=S, noise=0.12
+    )
+    sub_lens = np.full(len(filters), S, np.int32)
+    fs, ft = full.search(filters, sub_lens)
+    ss, st = scr.search(filters, sub_lens)
+    for b in range(len(filters)):
+        top_full = int(np.argmax(fs[b]))
+        top_scr = int(np.argmax(ss[b]))
+        assert top_scr == top_full == want_song[b]
+        # stage-2 math is the exact alignment: same score and offset
+        np.testing.assert_allclose(ss[b, top_scr], fs[b, top_full],
+                                   rtol=1e-5)
+        assert st[b, top_scr] == ft[b, top_full] == want_off[b]
+        # every screened-in song carries the exhaustive value
+        hit = ss[b] != 0
+        np.testing.assert_allclose(ss[b][hit], fs[b][hit], rtol=1e-5)
+
+
+def test_screened_top1_device_and_serving_contract():
+    rng = np.random.default_rng(1)
+    emb, counts, song_pos = make_db(rng, n_songs=32)
+    scr = ScreenedAlignmentEngine(
+        emb, counts, pad=16, k=4, top_m=6, score_dtype=jnp.float32,
+        impl="xla", backend="exact",
+    )
+    S = 8
+    filters, want_song, want_off = noisy_queries(
+        rng, emb, counts, song_pos, n=5, S=S, noise=0.1
+    )
+    outs = scr.search_top1_device(filters)
+    song = np.concatenate([np.asarray(o[0]) for o in outs])[: len(filters)]
+    t = np.concatenate([np.asarray(o[2]) for o in outs])[: len(filters)]
+    assert list(song) == want_song
+    assert [int(x) for x in t] == want_off
+
+
+def test_screened_small_topm_degrades_to_full():
+    """top_m >= n_songs must reproduce the exhaustive table exactly for
+    every song (screen is then a no-op reorder)."""
+    rng = np.random.default_rng(2)
+    emb, counts, song_pos = make_db(rng, n_songs=12, d=32)
+    full = AlignmentEngine(emb, counts, pad=8, score_dtype=jnp.float32,
+                           impl="xla")
+    scr = ScreenedAlignmentEngine(
+        emb, counts, pad=8, k=4, top_m=64, score_dtype=jnp.float32,
+        impl="xla", backend="exact",
+    )
+    assert scr.top_m == 12
+    S = 4
+    filters, _, _ = noisy_queries(rng, emb, counts, song_pos, n=3, S=S)
+    sub_lens = np.full(len(filters), S, np.int32)
+    fs, ft = full.search(filters, sub_lens)
+    ss, st = scr.search(filters, sub_lens)
+    np.testing.assert_allclose(ss, fs, rtol=1e-5)
+    np.testing.assert_array_equal(st, ft)
+
+
+def test_screened_coarse_pallas_interpret_parity():
+    """The TPU coarse stage (pallas kernel over the pooled layout) picks
+    the same survivors as the XLA coarse stage — interpret mode, tiny DB."""
+    rng = np.random.default_rng(3)
+    emb, counts, song_pos = make_db(rng, n_songs=16, min_len=10,
+                                    max_len=24, d=32)
+    kw = dict(pad=16, k=4, top_m=4, score_dtype=jnp.float32,
+              backend="exact")
+    xla = ScreenedAlignmentEngine(emb, counts, impl="xla", **kw)
+    pls = ScreenedAlignmentEngine(emb, counts, impl="pallas",
+                                  interpret=True, **kw)
+    pls.max_batch = 128  # pallas path assumes LANE-multiple batches
+    S = 6
+    filters, want_song, _ = noisy_queries(
+        rng, emb, counts, song_pos, n=4, S=S, noise=0.2
+    )
+    sub_lens = np.full(len(filters), S, np.int32)
+    xs, xt = xla.search(filters, sub_lens)
+    ps, pt = pls.search(filters, sub_lens)
+    for b in range(len(filters)):
+        assert int(np.argmax(ps[b])) == int(np.argmax(xs[b])) == want_song[b]
+    np.testing.assert_allclose(ps, xs, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(pt, xt)
+
+
+def test_database_screen_engine(tmp_path):
+    """Database wires engine='screen' (screen=True override) through the
+    same query_embeddings contract as the align engine."""
+    import os
+
+    from pfann_tpu.index.database import Database, write_index_meta
+
+    rng = np.random.default_rng(4)
+    emb, counts, song_pos = make_db(rng, n_songs=10, d=32)
+    db_dir = str(tmp_path)
+    emb.tofile(os.path.join(db_dir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(db_dir, "landmarkKey"))
+    with open(os.path.join(db_dir, "songList.txt"), "w") as f:
+        f.writelines("song%d\n" % i for i in range(len(counts)))
+    write_index_meta(db_dir, emb.shape[1])
+
+    db = Database(
+        db_dir,
+        {"top_k": 10, "screen": True, "screen_top_m": 4,
+         "db_dtype": "float32"},
+        hop_size=0.5,
+    )
+    assert db.engine == "screen"
+    S = 6
+    song = 7
+    off = int(rng.integers(0, counts[song] - S))
+    q = emb[song_pos[song] + off :][:S].copy()
+    q += 0.1 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sco, (sid, tsec), table = db.query_embeddings(q)
+    assert sid == song
+    assert abs(tsec - off * 0.5) < 1e-6
+    assert table.shape == (10, 2)
