@@ -97,7 +97,92 @@ def test_sharded_batch_multiple_queries():
         assert best == pytest.approx(1.0, abs=1e-4)
 
 
+def test_dp_training_step_numeric_parity():
+    """The 8-device-mesh train_step must be NUMERICALLY equal to the
+    single-device one on identical inputs — not merely finite.  This
+    guards the full-batch NT-Xent semantics: the GSPMD layout (rows
+    sharded, params replicated, trainer.py) makes the y @ y.T in loss.py
+    gather the whole batch, so every row sees all 2n-2 negatives.  A
+    refactor to a shard-local loss would silently shrink the negative
+    set; this test fails on any such change (the loss value depends on
+    the negative count).  Also asserts embed_step parity."""
+    from pfann_tpu.train.trainer import Trainer
+
+    cfg = {
+        "batch_size": 16,
+        "sample_rate": 8000,
+        "stft_n": 1024,
+        "stft_hop": 256,
+        "n_mels": 256,
+        "f_min": 300,
+        "f_max": 4000,
+        "segment_size": 1,
+        "hop_size": 0.5,
+        "epoch": 1,
+        "lr": 1e-3,
+        "tau": 0.05,
+        "cutout_min": 0.1,
+        "cutout_max": 0.5,
+        "model": {"d": 16, "h": 64, "u": 8, "fuller": True},
+    }
+    x = np.random.default_rng(0).random((16, 256, 32), dtype=np.float32)
+    key = jax.random.key(0)
+
+    single = Trainer(cfg, compute_dtype=jnp.float32)
+    p1, o1 = single.init_state()
+    # embed_step parity on IDENTICAL params (pre-step: after one Adam
+    # step params differ by lr*sign(g) wherever the cross-device grad
+    # reduction flips a ~0 grad's sign — non-associativity, not a bug)
+    e1 = np.asarray(single.embed_step(p1, jnp.asarray(x[:8]), True))
+    p1, o1, loss1 = single.train_step(p1, o1, jnp.asarray(x), key)
+
+    mesh_tr = Trainer(cfg, compute_dtype=jnp.float32, mesh=make_mesh("dp", 8))
+    pm, om = mesh_tr.init_state()
+    em = np.asarray(mesh_tr.embed_step(pm, jnp.asarray(x[:8]), True))
+    pm, om, lossm = mesh_tr.train_step(pm, om, jnp.asarray(x), key)
+
+    np.testing.assert_allclose(float(lossm), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(em, e1, rtol=1e-4, atol=1e-6)
+
+    # grad parity through the SAME sharding spec train_step uses (params
+    # replicated, batch rows sharded).  Grads compare robustly; post-Adam
+    # params would not (first step is lr*sign(g) — sign flips where g~0).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pfann_tpu.train.loss import similarity_loss
+
+    def loss_fn(p, xb, k):
+        xa = single.specaug.augment(k, xb)
+        y = single.model.apply(p, xa)
+        return similarity_loss(y, single.tau)
+
+    p0, _ = single.init_state()
+    g1 = jax.jit(jax.grad(loss_fn))(p0, jnp.asarray(x), key)
+    mesh = mesh_tr.mesh
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("dp"))
+    gm = jax.jit(
+        jax.grad(loss_fn), in_shardings=(repl, rows, repl),
+        out_shardings=repl,
+    )(jax.device_put(p0, repl), jnp.asarray(x), key)
+    flatm = dict(jax.tree_util.tree_leaves_with_path(gm))
+    checked = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g1):
+        # rtol bounded by f32 non-associativity of the 8-way cross-
+        # device grad reduction (measured ~1e-3 worst leaf); a shard-
+        # local loss regression moves grads by O(1), far past this
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flatm[path]), rtol=3e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+        checked += 1
+    assert checked >= 10  # conv + LN + projector leaves all compared
+
+
 def test_dp_training_step_on_mesh():
+    """DP smoke at a batch size that does NOT divide the mesh evenly is
+    not supported (GSPMD row sharding requires divisibility) — assert
+    the even case stays finite at bf16 too (the production dtype)."""
     from pfann_tpu.train.trainer import Trainer
 
     mesh = make_mesh("dp", 8)
@@ -118,7 +203,7 @@ def test_dp_training_step_on_mesh():
         "cutout_max": 0.5,
         "model": {"d": 16, "h": 64, "u": 8, "fuller": True},
     }
-    trainer = Trainer(cfg, compute_dtype=jnp.float32, mesh=mesh)
+    trainer = Trainer(cfg, compute_dtype=jnp.bfloat16, mesh=mesh)
     params, opt_state = trainer.init_state()
     x = np.random.default_rng(0).random((16, 256, 32), dtype=np.float32)
     p2, o2, loss = trainer.train_step(
