@@ -19,6 +19,8 @@ db_list() {
     [mirex]=lists/mirex-db.txt
     [synth]=out/synth_dataset/lists/db.txt
     [synth2s]=out/synth_dataset/lists/db.txt
+    [synth3s]=out/synth_dataset/lists/db.txt
+    [synth5s]=out/synth_dataset/lists/db.txt
   )
   if [[ -z "${lists[$DATASET]:-}" ]]; then
     echo "$DATASET is not a supported dataset" >&2
@@ -41,7 +43,7 @@ match_prog() {
 db_name() {
   # query-length variants share their base dataset's DB (synth2s -> synth)
   case "$1" in
-    synth2s) echo synth;;
+    synth2s|synth3s|synth5s) echo synth;;
     *) echo "$1";;
   esac
 }

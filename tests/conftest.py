@@ -15,10 +15,26 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache: the suite's cost is dominated by XLA
+# compiles of FIXED shapes (mesh train steps, dryrun, model variants) —
+# identical run to run, so cache them on disk.  Set via env so the e2e
+# tests' CLI subprocesses inherit it too (each pays its own compiles
+# otherwise).  Measured: 665 s cold -> ~half warm (VERDICT r2 next #3).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_test_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the axon sitecustomize imports jax before this file runs, so the env
+# vars above only reach SUBPROCESSES; set the in-process config directly
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.default_backend() == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()

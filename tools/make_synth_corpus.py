@@ -35,31 +35,83 @@ from pfann_tpu.audio.io import write_wav  # noqa: E402
 SR = 8000
 
 
-def make_song(rng: np.random.Generator, seconds: float) -> np.ndarray:
-    """A 'song': a chord sequence over a shared scale with per-chord
-    envelopes plus a broadband texture floor.  Shared scale + dense DB
-    makes retrieval non-trivial; the chord *sequence* is the fingerprint."""
+def make_family(rng: np.random.Generator) -> dict:
+    """A song FAMILY: a shared 'instrument + key + tempo' identity that
+    several songs are written in.  v2 corpus design (VERDICT r2 next #2):
+    round 1's generator drew every song from ONE discrete 36-note sine
+    scale, which (a) collided landmark peak-pair hashes across the whole
+    corpus (pure sines on a shared grid -> identical (f, df, dt) pairs)
+    and (b) left the NN at 100 % song top-1 at 10 s (every song a
+    distinctive broadband texture).  Families invert both: the scale
+    root is CONTINUOUS (log-uniform) and per-family detuned, so peak
+    bins are family-specific and landmark hashes discriminate; songs
+    inside a family share scale, timbre, and tempo, so their 1 s
+    segments are mutually confusable and the NN leaves the ceiling —
+    the regime where the thesis's NN/landmark disagreement set is
+    non-trivial (reference ensemble/svmtrain.py trains exactly there).
+    """
+    root = 150.0 * 2 ** rng.uniform(0.0, 1.0)  # continuous in [150, 300)
+    # 12-TET-ish degrees over 3 octaves with per-family random detune
+    degrees = np.arange(36) + rng.uniform(-0.45, 0.45, 36)
+    return {
+        "scale": root * 2 ** (degrees / 12.0),
+        "n_partials": int(rng.integers(3, 9)),
+        "decay": rng.uniform(0.6, 2.0),       # partial k amp ~ k^-decay
+        "inharm": rng.uniform(0.0, 6e-4),     # f_k = f0 k sqrt(1+inharm k^2)
+        "attack": rng.uniform(0.003, 0.02),   # s — sharp onsets anchor peaks
+        "release": rng.uniform(0.12, 0.45),   # s — exponential ring-out
+        "beat": rng.uniform(0.22, 0.55),      # s per grid slot
+        "trem": rng.uniform(0.0, 0.25),
+        "trem_hz": rng.uniform(2.0, 7.0),
+    }
+
+
+def synth_note(fam: dict, f0: float, dur: int,
+               rng: np.random.Generator) -> np.ndarray:
+    """One plucked note: harmonic stack with family timbre, fast attack,
+    exponential release (transient-rich — the landmark constellation
+    anchors on onsets; round 1's box-envelope steady sines gave it
+    nothing time-localized to key on)."""
+    tt = np.arange(dur, dtype=np.float32) / SR
+    k = np.arange(1, fam["n_partials"] + 1, dtype=np.float32)
+    fk = f0 * k * np.sqrt(1.0 + fam["inharm"] * k * k)
+    ak = k ** -fam["decay"]
+    ak = np.where(fk < SR / 2 - 100.0, ak, 0.0)  # band-limit
+    ph = rng.uniform(0, 2 * np.pi, k.shape[0]).astype(np.float32)
+    y = (ak[:, None] * np.sin(
+        2 * np.pi * fk[:, None] * tt[None, :] + ph[:, None]
+    )).sum(axis=0)
+    env = (1.0 - np.exp(-tt / fam["attack"])) * np.exp(-tt / fam["release"])
+    if fam["trem"] > 0:
+        env = env * (1.0 + fam["trem"] * np.sin(
+            2 * np.pi * fam["trem_hz"] * tt + rng.uniform(0, 6.28)
+        ))
+    return (y * env).astype(np.float32)
+
+
+def make_song(rng: np.random.Generator, seconds: float,
+              fam: dict | None = None) -> np.ndarray:
+    """A 'song' in a family: its own note/chord SEQUENCE over the shared
+    scale/timbre/tempo.  The sequence is the fingerprint — alignment
+    voting (NN engine and landmark histogram alike) must tell siblings
+    apart through it."""
+    if fam is None:
+        fam = make_family(rng)
     n = int(SR * seconds)
-    scale = 300.0 * 2 ** (np.arange(36) / 12.0)  # 3 octaves from 300 Hz
-    out = np.zeros(n, dtype=np.float32)
+    out = np.zeros(n + SR, dtype=np.float32)  # slack for note ring-out
     t = 0
     while t < n:
-        dur = int(SR * rng.uniform(0.25, 0.8))
-        dur = min(dur, n - t)
-        freqs = rng.choice(scale, size=rng.integers(2, 5), replace=False)
-        amps = rng.uniform(0.15, 0.5, freqs.shape[0])
-        phase = rng.uniform(0, 2 * np.pi, freqs.shape[0])
-        tt = np.arange(dur, dtype=np.float32) / SR
-        chord = (amps[:, None] * np.sin(
-            2 * np.pi * freqs[:, None] * tt[None, :] + phase[:, None]
-        )).sum(axis=0)
-        env = np.minimum(1.0, np.minimum(
-            np.arange(dur) / (0.02 * SR),
-            np.arange(dur, 0, -1) / (0.1 * SR),
-        )).astype(np.float32)
-        out[t : t + dur] += chord.astype(np.float32) * env
-        t += dur
-    out += 0.03 * rng.standard_normal(n).astype(np.float32)
+        slot = int(SR * fam["beat"] * rng.uniform(0.85, 1.15))
+        notes = rng.choice(36, size=rng.integers(1, 4), replace=False)
+        for deg in notes:
+            dur = min(int(slot * rng.uniform(1.0, 2.2)), out.shape[0] - t)
+            amp = rng.uniform(0.25, 0.7)
+            out[t : t + dur] += amp * synth_note(
+                fam, float(fam["scale"][deg]), dur, rng
+            )
+        t += slot
+    out = out[:n]
+    out += 0.015 * rng.standard_normal(n).astype(np.float32)
     return 0.6 * out / max(float(np.abs(out).max()), 1e-9)
 
 
@@ -69,6 +121,33 @@ def make_noise_clip(rng: np.random.Generator, kind: str, seconds: float
     white = rng.standard_normal(n).astype(np.float32)
     if kind == "white":
         out = white
+    elif kind == "babble":
+        # overlapping notes from throwaway families = musical background
+        # (the hardest noise class for both systems: it has real peaks)
+        out = np.zeros(n, np.float32)
+        for _ in range(6):
+            fam = make_family(rng)
+            start = int(rng.uniform(0, 0.7) * n)
+            clip = make_song(rng, (n - start) / SR, fam)
+            out[start:] += rng.uniform(0.3, 1.0) * clip[: n - start]
+    elif kind == "bursts":
+        # white-noise bursts on a random grid (transient noise —
+        # specifically attacks the landmark's onset anchors)
+        out = 0.05 * white
+        t = 0
+        while t < n:
+            dur = int(SR * rng.uniform(0.02, 0.15))
+            out[t : t + dur] += (rng.uniform(0.5, 1.0)
+                                 * white[t : t + dur][::-1])
+            t += dur + int(SR * rng.uniform(0.1, 0.8))
+    elif kind == "sweep":
+        # slow narrowband sweep (siren-like)
+        tt = np.arange(n, dtype=np.float32) / SR
+        f0, f1 = sorted(rng.uniform(200, 3000, 2))
+        phase = 2 * np.pi * np.cumsum(
+            f0 * (f1 / f0) ** (tt / tt[-1])
+        ) / SR
+        out = np.sin(phase).astype(np.float32) + 0.1 * white
     elif kind == "pink":
         spec = np.fft.rfft(white)
         f = np.maximum(np.fft.rfftfreq(n, 1 / SR), 1.0)
@@ -132,6 +211,10 @@ def main() -> None:
     ap.add_argument("--test-songs", type=int, default=30,
                     help="in-DB tracks the queries are cut from")
     ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--family-size", type=int, default=8,
+                    help="songs per family (shared scale/timbre/tempo); "
+                    "db+test share one family pool so every test song "
+                    "has in-DB siblings")
     ap.add_argument("--seed", type=int, default=3)  # fma_large.py:39
     args = ap.parse_args()
 
@@ -146,15 +229,32 @@ def main() -> None:
         "db": args.db_songs,
         "test": args.test_songs,
     }
+    # family pools: train/val each their own; db+test SHARED (test songs
+    # must have in-DB siblings for segment-level confusability)
+    fs = max(args.family_size, 1)
+    pools = {
+        "train": [make_family(rng)
+                  for _ in range(-(-groups["train"] // fs))],
+        "val": [make_family(rng) for _ in range(-(-groups["val"] // fs))],
+    }
+    pools["db"] = pools["test"] = [
+        make_family(rng)
+        for _ in range(-(-(groups["db"] + groups["test"]) // fs))
+    ]
     names: dict[str, list[str]] = {}
     i = 0
+    fam_at = {"train": 0, "val": 0, "db": 0}
     for group, count in groups.items():
+        pool = pools[group]
+        key = "db" if group in ("db", "test") else group
         names[group] = []
         for _ in range(count):
             name = "s%04d.wav" % i
+            fam = pool[fam_at[key] % len(pool)]
+            fam_at[key] += 1
             write_wav(
                 os.path.join(root, "music", name),
-                make_song(rng, args.seconds), SR,
+                make_song(rng, args.seconds, fam), SR,
             )
             names[group].append(name)
             i += 1
@@ -166,17 +266,17 @@ def main() -> None:
         for name in names["db"] + names["test"]:
             f.write(os.path.join(root, "music", name) + "\n")
 
-    kinds = ["white", "pink", "amband", "hum"]
+    kinds = ["white", "pink", "amband", "hum", "babble", "bursts", "sweep"]
     noise_names = []
-    for j in range(24):
+    for j in range(28):
         name = "n%03d.wav" % j
         write_wav(
             os.path.join(root, "noise", name),
             make_noise_clip(rng, kinds[j % len(kinds)], 10.0), SR,
         )
         noise_names.append(name)
-    write_csv(os.path.join(lists, "noise_train.csv"), noise_names[:16])
-    write_csv(os.path.join(lists, "noise_val.csv"), noise_names[16:])
+    write_csv(os.path.join(lists, "noise_train.csv"), noise_names[:21])
+    write_csv(os.path.join(lists, "noise_val.csv"), noise_names[21:])
 
     import scipy.io
 
