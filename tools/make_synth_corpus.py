@@ -128,8 +128,11 @@ def make_noise_clip(rng: np.random.Generator, kind: str, seconds: float
         for _ in range(6):
             fam = make_family(rng)
             start = int(rng.uniform(0, 0.7) * n)
-            clip = make_song(rng, (n - start) / SR, fam)
-            out[start:] += rng.uniform(0.3, 1.0) * clip[: n - start]
+            # round seconds UP: int(SR*s) in make_song may undershoot
+            # n - start by one sample otherwise
+            clip = make_song(rng, (n - start + 1) / SR + 1e-6, fam)
+            m = min(n - start, clip.shape[0])
+            out[start : start + m] += rng.uniform(0.3, 1.0) * clip[:m]
     elif kind == "bursts":
         # white-noise bursts on a random grid (transient noise —
         # specifically attacks the landmark's onset anchors)

@@ -9,8 +9,10 @@ set -e -x
 cd "$(dirname "$0")/.."
 
 # stale preprocess caches are keyed by file NAME — regeneration reuses
-# names, so a stale cache silently evaluates the old corpus
-rm -rf caches/* out/synth_dataset
+# names, so a stale cache silently evaluates the old corpus.  The model
+# dir must go too: a FINISHED model refuses to retrain (the resume
+# contract), silently keeping the old-corpus weights.
+rm -rf caches/* out/synth_dataset out/models/synth
 
 python tools/make_synth_corpus.py --db-songs 1000
 python train.py -p configs/synth.json -w 2
