@@ -111,11 +111,13 @@ class ScreenedAlignmentEngine:
         n_pad = -(-max(self.n_songs, 1) // PALLAS_G) * PALLAS_G
         self.n_pad = n_pad
 
-        song_pos = np.pad(np.cumsum(counts, dtype=np.int64), (1, 0))
-        db3 = np.zeros((n_pad, R, self.d), dtype=np.float32)
-        for s in range(self.n_songs):
-            c = int(counts[s])
-            db3[s, pad : pad + c] = embeddings[song_pos[s] : song_pos[s] + c]
+        from pfann_tpu.index.align import build_uniform_layout
+
+        db2, _ = build_uniform_layout(
+            embeddings, counts, pad=pad, round_r_to=R, pad_songs_to=n_pad,
+            trailing_pad=False,
+        )
+        db3 = db2.reshape(n_pad, R, self.d)
         # overlap pooling: bin j = rows [jk, jk+2k).  The +1 shifted add
         # crosses region boundaries, which is exact: the next region's
         # first bins pool its leading PAD zeros.
