@@ -79,9 +79,10 @@ def build_uniform_layout(
     # latency at 100k tracks): row r of `embeddings` (song s, intra-song
     # index r - song_pos[s]) lands at s*R + pad + (r - song_pos[s])
     counts = np.asarray(counts, dtype=np.int64)
-    song_of = np.repeat(np.arange(n_songs, dtype=np.int64), counts)
-    intra = np.arange(song_pos[-1], dtype=np.int64) - song_pos[song_of]
-    db[song_of * R + pad + intra] = embeddings
+    if n_songs and song_pos[-1]:
+        song_of = np.repeat(np.arange(n_songs, dtype=np.int64), counts)
+        intra = np.arange(song_pos[-1], dtype=np.int64) - song_pos[song_of]
+        db[song_of * R + pad + intra] = embeddings
     return db, R
 
 
@@ -191,7 +192,11 @@ class AlignmentEngine:
         self.d = db.shape[1]
         self.score_dtype = score_dtype
         self.max_batch = max_batch_rows
-        self._db = jax.device_put(jnp.asarray(db, dtype=score_dtype), device)
+        from pfann_tpu.utils.fastcast import host_cast
+
+        self._db = jax.device_put(
+            jnp.asarray(host_cast(db, score_dtype)), device
+        )
 
     def max_query_windows(self) -> int:
         return self.pad  # longer filters could cross into the next region

@@ -171,8 +171,11 @@ class Database:
         """Upload the flat embedding matrix (used by the topk engine and
         as the long-query fallback of the align engine)."""
         if self._db is None:
+            from pfann_tpu.utils.fastcast import host_cast
+
             self._db = jax.device_put(
-                jnp.asarray(self._emb_host, dtype=self._np_dtype), self._device
+                jnp.asarray(host_cast(self._emb_host, self._np_dtype)),
+                self._device,
             )
             self._song_pos = jax.device_put(
                 jnp.asarray(self.song_pos, jnp.int32), self._device

@@ -127,9 +127,13 @@ class ScreenedAlignmentEngine:
         if impl != "pallas":
             # XLA alignment_core windows overhang the last region
             coarse = np.pad(coarse, ((0, pad // k), (0, 0)))
-        self._db3 = jax.device_put(jnp.asarray(db3, dtype=score_dtype), device)
+        from pfann_tpu.utils.fastcast import host_cast
+
+        self._db3 = jax.device_put(
+            jnp.asarray(host_cast(db3, score_dtype)), device
+        )
         self._coarse = jax.device_put(
-            jnp.asarray(coarse, dtype=score_dtype), device
+            jnp.asarray(host_cast(coarse, score_dtype)), device
         )
         self._fns: dict = {}
 

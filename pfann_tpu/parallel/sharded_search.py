@@ -32,6 +32,7 @@ from pfann_tpu.index.search import (
     mips_topk,
     seq_rerank,
 )
+from pfann_tpu.utils.fastcast import host_cast
 
 
 def partition_songs(counts: np.ndarray, n_shards: int) -> list[list[int]]:
@@ -128,7 +129,9 @@ class ShardedDatabase:
                         song_pos[song] : song_pos[song] + c
                     ]
                     song_map[si, gi] = song
-            self._db = jax.device_put(jnp.asarray(db_sh, dtype=db_dtype), shard)
+            self._db = jax.device_put(
+                jnp.asarray(host_cast(db_sh, db_dtype)), shard
+            )
             self._song_pos = None
         else:
             rows_max = max(
@@ -149,7 +152,9 @@ class ShardedDatabase:
                     song_pos_sh[si, gi + 1] = at
                     song_map[si, gi] = song
                 song_pos_sh[si, len(g) + 1 :] = at  # padding songs: zero length
-            self._db = jax.device_put(jnp.asarray(db_sh, dtype=db_dtype), shard)
+            self._db = jax.device_put(
+                jnp.asarray(host_cast(db_sh, db_dtype)), shard
+            )
             self._song_pos = jax.device_put(jnp.asarray(song_pos_sh), shard)
 
         self.songs_max = songs_max

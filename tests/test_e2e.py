@@ -143,7 +143,7 @@ def db_and_model(corpus, tmp_path_factory):
     mel = build_mel_spec_layer(cfg)
     segs = np.concatenate([unfold(wav, 8000, 4000) for _, wav in corpus])
     segs = segs - segs.mean(axis=1, keepdims=True)
-    tx = optax.adam(3e-3)
+    tx = optax.adam(4e-3)
     opt_state = tx.init(variables)
 
     @jax.jit
@@ -156,7 +156,7 @@ def db_and_model(corpus, tmp_path_factory):
         return optax.apply_updates(v, up), o, loss
 
     rng = np.random.default_rng(0)
-    for it in range(60):
+    for it in range(40):
         idx = rng.choice(segs.shape[0], 24, replace=False)
         org = segs[idx]
         aug = org + 0.1 * rng.standard_normal(org.shape).astype(np.float32)

@@ -143,3 +143,28 @@ def test_ensemble_roundtrip(tmp_path):
     lm = np.load(tmp_path / "lm.npy")
     assert nn.shape == (n_q, 2) and lm.shape == (n_q, 2)
     assert set(np.unique(nn[:, 1])) <= {0.0, 1.0}
+
+
+def test_host_cast_bf16_matches_ml_dtypes():
+    """host_cast's bit-twiddle f32->bf16 == ml_dtypes' RNE cast, incl.
+    ties, subnormals, +-inf, and max-float overflow-to-inf."""
+    import ml_dtypes
+
+    from pfann_tpu.utils.fastcast import host_cast
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        (rng.standard_normal(4096)
+         * 10.0 ** rng.integers(-30, 30, 4096)).astype(np.float32),
+        np.array([0.0, -0.0, 1.0, -1.0, np.inf, -np.inf,
+                  np.float32(3.3895314e38),   # rounds up to inf
+                  np.finfo(np.float32).tiny, 1e-45, -1e-45,
+                  1.0039062, 1.0117188], np.float32),  # RNE ties
+    ])
+    fast = host_cast(x, ml_dtypes.bfloat16)
+    ref = x.astype(ml_dtypes.bfloat16)
+    assert fast.dtype == ref.dtype
+    assert np.array_equal(fast.view(np.uint16), ref.view(np.uint16))
+    # non-fast-path combinations fall back to np.asarray semantics
+    y64 = host_cast(x.astype(np.float64), np.float32)
+    assert y64.dtype == np.float32
