@@ -46,7 +46,7 @@ def main() -> None:
     params = read_config(os.path.join(dir_for_db, "configs.json"))
 
     print("loading model...")
-    embedder = Embedder(params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=128)
+    embedder = Embedder(params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=512)
     print("model loaded")
     song_list = read_file_list(os.path.join(dir_for_db, "songList.txt"))
 

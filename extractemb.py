@@ -38,7 +38,7 @@ def main() -> None:
     params = read_config(configs)
 
     print("loading model...")
-    embedder = Embedder(params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=128)
+    embedder = Embedder(params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=512)
     print("model loaded")
 
     dataset = MusicDataset(file_list_for_query, params)

@@ -135,7 +135,7 @@ def load_model_and_db(dir_for_db):
     params = read_config(os.path.join(dir_for_db, "configs.json"))
     print("loading model...")
     embedder = Embedder(
-        params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=128
+        params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=512
     )
     print("model loaded")
     print("loading database...")

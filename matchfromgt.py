@@ -66,7 +66,7 @@ def main() -> None:
     fsm = params["indexer"].get("frame_shift_mul", 1)
 
     print("loading model...")
-    embedder = Embedder(params, os.path.join(args.db, MODEL_FILE_NAME), chunk=128)
+    embedder = Embedder(params, os.path.join(args.db, MODEL_FILE_NAME), chunk=512)
 
     print("loading database...")
     with open(os.path.join(args.db, "songList.txt"), encoding="utf8") as fin:

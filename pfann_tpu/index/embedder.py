@@ -66,7 +66,7 @@ class Embedder:
         S = wav.shape[0]
         if S == 0:
             return np.zeros((0, self.d), dtype=np.float32)
-        outs = []
+        outs, lens = [], []
         for i in range(0, S, self.chunk):
             part = wav[i : i + self.chunk]
             n = part.shape[0]
@@ -74,9 +74,14 @@ class Embedder:
                 part = np.concatenate(
                     [part, np.zeros((self.chunk - n, wav.shape[1]), wav.dtype)]
                 )
-            y = self._embed(self.variables, jnp.asarray(part))
-            outs.append(np.asarray(y)[:n])
-        return np.concatenate(outs)
+            # dispatch every chunk before syncing any: the D2H transfer
+            # is the per-call fixed cost on the tunneled TPU (~0.1-1 s),
+            # so a blocking np.asarray per chunk serializes RTTs
+            outs.append(self._embed(self.variables, jnp.asarray(part)))
+            lens.append(n)
+        return np.concatenate(
+            [np.asarray(y)[:n] for y, n in zip(outs, lens)]
+        )
 
     def embed_with_saliency(
         self, wav: np.ndarray

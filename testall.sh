@@ -97,7 +97,7 @@ for action in "$@"; do
           pairs+=("out/queries/${DATASET}_snr${snr}/list.txt" \
                   "out/results/${MODEL}_${DATASET}_snr${snr}.txt")
         done
-        python matcher.py --pairs "out/dbs/${MODEL}_$(db_name "$DATASET")" \
+        python matcher.py --pairs --batch 128 "out/dbs/${MODEL}_$(db_name "$DATASET")" \
           "${pairs[@]}" || exit 1
       fi;;
     -accuracy_snr)
@@ -119,7 +119,7 @@ for action in "$@"; do
           pairs+=("out/queries/${DATASET}_snr${snr}/list.txt" \
                   "out/results/${MODEL}_${DATASET}_full_snr${snr}.txt")
         done
-        python matcher.py --pairs "out/dbs/${MODEL}_full" "${pairs[@]}" || exit 1
+        python matcher.py --pairs --batch 128 "out/dbs/${MODEL}_full" "${pairs[@]}" || exit 1
       fi;;
     -accuracy_snr_full)
       for snr in $SNRS; do
