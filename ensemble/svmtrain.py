@@ -32,9 +32,14 @@ def main():
     print("landmark wins", int(np.sum(y == 0)))
 
     os.makedirs(args.out, exist_ok=True)
+    # max_iter caps the extreme-C fits: libsvm runs UNBOUNDED by
+    # default and C>=1e4 on the overlapping disagreement set never
+    # converges (observed: minutes-to-stuck per fit); the capped fit
+    # is equivalent for model selection, which scores on the eval
+    # split (fuse_synth.py / svmval.py)
     print("Linear SVM")
     for C in range(-2, 11):
-        model = SVC(C=10**C, kernel="linear")
+        model = SVC(C=10**C, kernel="linear", max_iter=2_000_000)
         model.fit(x, y)
         acc = np.mean(model.predict(x) == y)
         print("C={} train acc={:.4f}".format(10**C, acc))
@@ -44,7 +49,8 @@ def main():
     print("RBF SVM")
     for C in range(-2, 11):
         for gamma in range(-9, 4):
-            model = SVC(C=10**C, kernel="rbf", gamma=10**gamma)
+            model = SVC(C=10**C, kernel="rbf", gamma=10**gamma,
+                        max_iter=2_000_000)
             model.fit(x, y)
             acc = np.mean(model.predict(x) == y)
             print("C={} gamma={} train acc={:.4f}".format(10**C, 10**gamma, acc))
