@@ -134,8 +134,15 @@ def match_list(
 def load_model_and_db(dir_for_db):
     params = read_config(os.path.join(dir_for_db, "configs.json"))
     print("loading model...")
+    # embed-chunk size: on the tunneled TPU the per-call host sync is the
+    # fixed cost (measured 1.4-4.3 s/call under relay load), so bigger
+    # chunks win; on CPU the zero-padding to the fixed chunk is real
+    # compute, so stay small (the e2e tests run this CLI on CPU)
+    import jax
+
+    chunk = 2048 if jax.default_backend() == "tpu" else 512
     embedder = Embedder(
-        params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=512
+        params, os.path.join(dir_for_db, MODEL_FILE_NAME), chunk=chunk
     )
     print("model loaded")
     print("loading database...")
