@@ -83,7 +83,7 @@ def main():
     write_config(cfg, cfg_path)
 
     model = build_fp_network(cfg, compute_dtype=jnp.float32)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 32)))
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 256, 32)))
     mel = build_mel_spec_layer(cfg)
     segs = np.concatenate([unfold(w, 8000, 4000) for _, w in songs])
     segs = segs - segs.mean(axis=1, keepdims=True)

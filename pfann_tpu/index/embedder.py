@@ -27,14 +27,30 @@ class Embedder:
         model_path: str,
         compute_dtype=jnp.bfloat16,
         chunk: int = 512,
+        bucket: bool | None = None,
     ):
         self.model = build_fp_network(params, compute_dtype=compute_dtype)
         self.mel = build_mel_spec_layer(params)
         self.chunk = chunk
+        # Ragged-tail padding policy.  On CPU (tests, e2e CLIs) padding is
+        # real single-core compute, so pad the tail only up to the next
+        # power-of-two bucket (each bucket is one cached compile).  On the
+        # TPU a recompile costs 10 s - minutes through the remote relay
+        # and padded rows are nearly free on the MXU, so always pad to the
+        # one fixed chunk shape.
+        if bucket is None:
+            bucket = jax.default_backend() != "tpu"
+        self.bucket = bucket
         self.d = self.model.d
         self.segment_size = int(params["segment_size"] * params["sample_rate"])
-        target = self.model.init(
-            jax.random.key(0), jnp.zeros((1, self.model.F, self.model.T))
+        # Only the pytree STRUCTURE is needed to deserialize the
+        # checkpoint; eval_shape skips init's compute entirely (eager
+        # flax init costs ~17 s of un-cacheable tiny op compiles on the
+        # single-core CPU backend the e2e CLIs run on).
+        target = jax.eval_shape(
+            lambda: self.model.init(
+                jax.random.key(0), jnp.zeros((1, self.model.F, self.model.T))
+            )
         )
         self.variables = ckpt.load_model(model_path, target)
         mel, model = self.mel, self.model
@@ -61,6 +77,15 @@ class Embedder:
         self._embed = _embed
         self._embed_saliency = _embed_saliency
 
+    def _pad_to(self, n: int) -> int:
+        """Padded row count for an n-row (ragged) chunk."""
+        if not self.bucket or n >= self.chunk:
+            return self.chunk
+        b = 32
+        while b < n:
+            b *= 2
+        return min(b, self.chunk)
+
     def embed(self, wav: np.ndarray) -> np.ndarray:
         """wav: [S, segment_size] float32 -> [S, d] float32 L2-normalized."""
         S = wav.shape[0]
@@ -70,9 +95,10 @@ class Embedder:
         for i in range(0, S, self.chunk):
             part = wav[i : i + self.chunk]
             n = part.shape[0]
-            if n < self.chunk:
+            target = self._pad_to(n)
+            if n < target:
                 part = np.concatenate(
-                    [part, np.zeros((self.chunk - n, wav.shape[1]), wav.dtype)]
+                    [part, np.zeros((target - n, wav.shape[1]), wav.dtype)]
                 )
             # dispatch every chunk before syncing any: the D2H transfer
             # is the per-call fixed cost on the tunneled TPU (~0.1-1 s),
@@ -98,9 +124,10 @@ class Embedder:
         for i in range(0, S, self.chunk):
             part = wav[i : i + self.chunk]
             n = part.shape[0]
-            if n < self.chunk:
+            target = self._pad_to(n)
+            if n < target:
                 part = np.concatenate(
-                    [part, np.zeros((self.chunk - n, wav.shape[1]), wav.dtype)]
+                    [part, np.zeros((target - n, wav.shape[1]), wav.dtype)]
                 )
             z, dg, g = self._embed_saliency(self.variables, jnp.asarray(part))
             zs.append(np.asarray(z, np.float32)[:n])

@@ -149,7 +149,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, seed: int = 123):
         F, T = self.model.F, self.model.T
-        params = self.model.init(jax.random.key(seed), jnp.zeros((2, F, T)))
+        # jit the init: eager flax init runs hundreds of tiny eager op
+        # compiles (~17 s on the single-core CPU backend); one jitted
+        # program also lands in the persistent compilation cache.
+        params = jax.jit(self.model.init)(
+            jax.random.key(seed), jnp.zeros((2, F, T))
+        )
         opt_state = self.tx.init(params)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -198,9 +203,20 @@ class Trainer:
         to the host — batches stay on device."""
         outs, buf, count = [], [], 0
         F, T = self.model.F, self.model.T
+        # On CPU (tests) pad the ragged tail only to the next power-of-two
+        # bucket — padding is real single-core compute there.  On TPU keep
+        # the one fixed chunk shape (recompiles cost 10 s+ via the relay,
+        # padded rows are nearly free on the MXU).
+        bucket_tail = jax.default_backend() != "tpu"
 
         def flush(arr, n_valid):
-            pad = chunk - arr.shape[0]
+            target = chunk
+            if bucket_tail and arr.shape[0] < chunk:
+                target = 32
+                while target < arr.shape[0]:
+                    target *= 2
+                target = min(target, chunk)
+            pad = target - arr.shape[0]
             if pad:
                 arr = jnp.concatenate(
                     [arr, jnp.zeros((pad, F, T), arr.dtype)]

@@ -26,6 +26,14 @@ os.environ.setdefault(
                  ".jax_test_cache"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# The env vars above are IGNORED in subprocesses too (the axon hook's
+# early jax import reads config before they can win) — PFANN_COMPILE_CACHE
+# goes through apply_platform_override()'s explicit jax.config.update,
+# which the e2e CLI subprocesses (builder/matcher/extractemb/...) all
+# call.  Measured: builder on the tiny e2e fixture 34 s -> ~8 s warm.
+os.environ.setdefault(
+    "PFANN_COMPILE_CACHE", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
 
 import jax  # noqa: E402
 

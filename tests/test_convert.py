@@ -58,13 +58,17 @@ def test_converted_model_runs_and_param_structure_matches():
     tree = convert_state_dict(state, d, h, u)
 
     model = FpNetwork(d=d, h=h, u=u, F=256, T=32, fuller=True)
-    ref = model.init(jax.random.key(0), jnp.zeros((1, 256, 32)))
+    ref = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 256, 32)))
+    )
     # structures must match exactly (same leaves, same shapes)
     ref_shapes = jax.tree.map(lambda x: x.shape, ref)
     got_shapes = jax.tree.map(lambda x: x.shape, tree)
     assert ref_shapes == got_shapes
 
-    y = model.apply(tree, jnp.asarray(rng.standard_normal((3, 256, 32)), jnp.float32))
+    y = jax.jit(model.apply)(
+        tree, jnp.asarray(rng.standard_normal((3, 256, 32)), jnp.float32)
+    )
     assert y.shape == (3, d)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=1), 1.0, atol=1e-5)
 

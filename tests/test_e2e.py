@@ -130,12 +130,15 @@ def db_and_model(corpus, tmp_path_factory):
     write_config(cfg, cfg_path)
 
     model = build_fp_network(cfg, compute_dtype=jnp.float32)
-    variables = model.init(jax.random.key(5), jnp.zeros((1, 256, 32)))
+    variables = jax.jit(model.init)(jax.random.key(5), jnp.zeros((1, 256, 32)))
 
     # A random-init model maps everything to nearly the same embedding
     # (cosine ~0.99 across songs) so retrieval margins sit inside f32
-    # noise.  Train briefly on corpus segments (org vs +noise) to make it
-    # discriminative — the real train->build->match flow in miniature.
+    # noise.  Train briefly on corpus segments to make it discriminative —
+    # the real train->build->match flow in miniature.  The mel transform
+    # is hoisted out of the loop (one 75-row call) and augmentation is
+    # mel-space noise: the e2e queries are bit-exact crops, so the mini
+    # training only has to separate segments, not survive wav-space noise.
     import optax
     from pfann_tpu.ops.melspec import build_mel_spec_layer
     from pfann_tpu.train.loss import similarity_loss
@@ -143,13 +146,15 @@ def db_and_model(corpus, tmp_path_factory):
     mel = build_mel_spec_layer(cfg)
     segs = np.concatenate([unfold(wav, 8000, 4000) for _, wav in corpus])
     segs = segs - segs.mean(axis=1, keepdims=True)
+    mel_segs = np.asarray(jax.jit(mel)(jnp.asarray(segs)))
+    noise_scale = 0.1 * float(np.std(mel_segs))
     tx = optax.adam(4e-3)
     opt_state = tx.init(variables)
 
     @jax.jit
     def step(v, o, x):
         def loss_fn(vv):
-            return similarity_loss(model.apply(vv, mel(x)), 0.05)
+            return similarity_loss(model.apply(vv, x), 0.05)
 
         loss, g = jax.value_and_grad(loss_fn)(v)
         up, o = tx.update(g, o, v)
@@ -157,10 +162,10 @@ def db_and_model(corpus, tmp_path_factory):
 
     rng = np.random.default_rng(0)
     for it in range(40):
-        idx = rng.choice(segs.shape[0], 24, replace=False)
-        org = segs[idx]
-        aug = org + 0.1 * rng.standard_normal(org.shape).astype(np.float32)
-        batch = np.stack([org, aug], axis=1).reshape(-1, 8000)
+        idx = rng.choice(mel_segs.shape[0], 24, replace=False)
+        org = mel_segs[idx]
+        aug = org + noise_scale * rng.standard_normal(org.shape).astype(np.float32)
+        batch = np.stack([org, aug], axis=1).reshape((-1,) + org.shape[1:])
         variables, opt_state, _ = step(variables, opt_state, jnp.asarray(batch))
     ckpt.save_model(os.path.join(model_dir, "model.msgpack"), variables)
 

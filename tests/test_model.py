@@ -10,14 +10,17 @@ from pfann_tpu.models.fp_network import FpNetwork, build_fp_network, param_count
 
 def make_model(d=32, h=128, u=8, F=256, T=32, **kw):
     model = FpNetwork(d=d, h=h, u=u, F=F, T=T, **kw)
-    variables = model.init(jax.random.key(0), jnp.zeros((2, F, T)))
+    # jitted: eager flax init = hundreds of tiny op compiles (~10 s on
+    # the single-core CPU backend); one jitted program is also
+    # persistent-cacheable across suite runs
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, F, T)))
     return model, variables
 
 
 def test_output_shape_and_norm():
     model, variables = make_model()
     x = jax.random.normal(jax.random.key(1), (4, 256, 32))
-    y = model.apply(variables, x)
+    y = jax.jit(model.apply)(variables, x)
     assert y.shape == (4, 32)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=1), 1.0, atol=1e-5)
 
@@ -25,10 +28,10 @@ def test_output_shape_and_norm():
 def test_norm_false_returns_unnormalized():
     model, variables = make_model()
     x = jax.random.normal(jax.random.key(2), (4, 256, 32))
-    y = model.apply(variables, x, norm=False)
+    y = jax.jit(lambda v, x: model.apply(v, x, norm=False))(variables, x)
     norms = np.linalg.norm(np.asarray(y), axis=1)
     assert not np.allclose(norms, 1.0, atol=1e-3)
-    y2 = model.apply(variables, x, norm=True)
+    y2 = jax.jit(lambda v, x: model.apply(v, x, norm=True))(variables, x)
     np.testing.assert_allclose(
         np.asarray(y2), np.asarray(y) / norms[:, None], atol=1e-5
     )
@@ -77,21 +80,21 @@ def test_same_padding_output_sizes():
     # ... -> 1,1 after 8 blocks (model.py:92-94)
     model, variables = make_model()
     # would assert-fail inside Encoder if the shape walk broke
-    model.apply(variables, jnp.zeros((1, 256, 32)))
+    jax.jit(model.apply)(variables, jnp.zeros((1, 256, 32)))
 
 
 def test_strides_config():
     # strides config format [[1, s_t], [s_f, 1]] per block (model.py:85)
     strides = [[[1, 2], [2, 1]]] * 5 + [[[1, 1], [2, 1]]] * 3
     model = FpNetwork(d=32, h=128, u=8, F=256, T=32, strides=strides)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 32)))
-    y = model.apply(variables, jnp.zeros((1, 256, 32)))
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 256, 32)))
+    y = jax.jit(model.apply)(variables, jnp.zeros((1, 256, 32)))
     assert y.shape == (1, 32)
 
 
 def test_elu_activation_and_relu_before_ln():
     model, variables = make_model(activation="ELU", relu_after_bn=False)
-    y = model.apply(variables, jnp.ones((2, 256, 32)))
+    y = jax.jit(model.apply)(variables, jnp.ones((2, 256, 32)))
     assert np.isfinite(np.asarray(y)).all()
 
 
@@ -105,16 +108,16 @@ def test_build_from_config():
     }
     model = build_fp_network(params)
     assert model.F == 256 and model.T == 32
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 32)))
-    assert model.apply(variables, jnp.zeros((3, 256, 32))).shape == (3, 32)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 256, 32)))
+    assert jax.jit(model.apply)(variables, jnp.zeros((3, 256, 32))).shape == (3, 32)
 
 
 def test_bf16_compute_close_to_f32():
     model32, variables = make_model()
     model16 = FpNetwork(d=32, h=128, u=8, F=256, T=32, compute_dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.key(3), (4, 256, 32))
-    y32 = np.asarray(model32.apply(variables, x))
-    y16 = np.asarray(model16.apply(variables, x))
+    y32 = np.asarray(jax.jit(model32.apply)(variables, x))
+    y16 = np.asarray(jax.jit(model16.apply)(variables, x))
     assert y16.dtype == np.float32  # output always f32
     # cosine similarity between bf16 and f32 embeddings stays high
     cos = (y32 * y16).sum(axis=1)

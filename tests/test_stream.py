@@ -62,12 +62,15 @@ def test_wave_chunk_reader_roundtrip(tmp_path):
 
 
 def test_long_file_segments_identical_streaming_vs_whole(tmp_path):
-    """>10 min track: the MusicDataset streaming path must produce the
-    exact same query/DB segments as whole-file decode."""
+    """Multi-block track (3+ 30 s resample blocks + ragged tail): the
+    MusicDataset streaming path must produce the exact same query/DB
+    segments as whole-file decode.  (The slow-marked memory test covers
+    the full >10 min length; seam correctness only needs several
+    block crossings.)"""
     from pfann_tpu.data.musicdata import MusicDataset
 
     rng = np.random.default_rng(3)
-    seconds = 10 * 60 + 31
+    seconds = 97
     t = np.arange(22050 * seconds, dtype=np.float32)
     wav = (0.3 * np.sin(2 * np.pi * 440 / 22050 * t)
            + 0.05 * rng.standard_normal(t.shape[0]).astype(np.float32))
