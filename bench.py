@@ -268,6 +268,9 @@ if __name__ == "__main__":
         _sys.exit(0)
     _scale = 0
     if "--scale" in _sys.argv:
-        arg = _sys.argv[_sys.argv.index("--scale") + 1]
-        _scale = int(arg.replace("k", "000"))
+        at = _sys.argv.index("--scale")
+        if at + 1 >= len(_sys.argv):
+            _sys.exit("usage: bench.py --scale <n_songs>[k]  (e.g. --scale 100k)")
+        arg = _sys.argv[at + 1]
+        _scale = int(arg[:-1]) * 1000 if arg.endswith("k") else int(arg)
     main(sharded="--sharded" in _sys.argv, scale=_scale)

@@ -8,6 +8,11 @@ Outputs (readme.md:123-184 contract):
   <result>             TSV: query path \t answer path
   <result stem>_detail.csv: query, answer, score, time
   <result>.bin         per-query [n_songs, 2] float32 (score, time) blocks
+                       (with the screened engine — auto at >=20k songs,
+                       index/screen.py — only the top-M surviving songs
+                       carry exact alignment scores; pruned rows are
+                       (0, 0), mirroring the reference's untouched-
+                       candidate convention, database.py:142-163)
 
 Unlike the reference (one query at a time, database.py:111), queries are
 batched through the device engine — decode in worker threads, embeddings

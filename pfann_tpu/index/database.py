@@ -162,6 +162,9 @@ class Database:
                 emb, counts, score_dtype=np_dtype, device=device,
                 k=int(self.params.get("screen_pool_k", 4)),
                 top_m=int(self.params.get("screen_top_m", 32)),
+                # honor the user's explicit 'exact'/'approx' top-M knob
+                # (same key the topk engine reads above)
+                backend=self.params.get("backend", "auto"),
             )
         else:
             self._ensure_raw_db()

@@ -79,12 +79,9 @@ class Embedder:
 
     def _pad_to(self, n: int) -> int:
         """Padded row count for an n-row (ragged) chunk."""
-        if not self.bucket or n >= self.chunk:
-            return self.chunk
-        b = 32
-        while b < n:
-            b *= 2
-        return min(b, self.chunk)
+        from pfann_tpu.index.search import bucket_tail_rows
+
+        return bucket_tail_rows(n, self.chunk, self.bucket)
 
     def embed(self, wav: np.ndarray) -> np.ndarray:
         """wav: [S, segment_size] float32 -> [S, d] float32 L2-normalized."""

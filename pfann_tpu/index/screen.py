@@ -202,10 +202,11 @@ class ScreenedAlignmentEngine:
         for i in range(0, B, self.max_batch):
             chunk = filters[i : i + self.max_batch]
             if chunk.shape[0] < self.max_batch:
+                arr = np.asarray(chunk)  # tail: host pad, dtype preserved
                 chunk = np.concatenate(
-                    [np.asarray(chunk, dtype=np.float32),
-                     np.zeros((self.max_batch - chunk.shape[0], S, self.d),
-                              np.float32)]
+                    [arr,
+                     np.zeros((self.max_batch - arr.shape[0], S, self.d),
+                              arr.dtype)]
                 )
             outs.append(fn(self._db3, self._coarse, jnp.asarray(chunk)))
         return outs

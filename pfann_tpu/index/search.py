@@ -48,6 +48,21 @@ def bucket_windows(s: int, cap: int) -> int:
     return min(-(-s // 8) * 8, max(cap, s))
 
 
+def bucket_tail_rows(n: int, chunk: int, bucket: bool) -> int:
+    """Padded row count for an n-row embed chunk (Embedder, trainer
+    validation).  With bucket=False — the TPU policy, where a recompile
+    costs 10 s+ through the relay and padded rows are nearly free on the
+    MXU — always the one fixed `chunk` shape.  With bucket=True — CPU,
+    where padding is real single-core compute — the next power of two
+    >= n (min 32, capped at chunk); each bucket is one cached compile."""
+    if not bucket or n >= chunk:
+        return chunk
+    b = 32
+    while b < n:
+        b *= 2
+    return min(b, chunk)
+
+
 def mips_topk(
     db: jnp.ndarray,
     queries: jnp.ndarray,

@@ -201,21 +201,16 @@ class Trainer:
         with a fixed-chunk jitted step (tail padded so every call hits the
         same compiled program).  Only the [chunk, d] embeddings come back
         to the host — batches stay on device."""
+        from pfann_tpu.index.search import bucket_tail_rows
+
         outs, buf, count = [], [], 0
         F, T = self.model.F, self.model.T
-        # On CPU (tests) pad the ragged tail only to the next power-of-two
-        # bucket — padding is real single-core compute there.  On TPU keep
-        # the one fixed chunk shape (recompiles cost 10 s+ via the relay,
-        # padded rows are nearly free on the MXU).
+        # CPU pads ragged tails to power-of-two buckets, TPU keeps the
+        # one fixed chunk shape — policy shared with Embedder._pad_to
         bucket_tail = jax.default_backend() != "tpu"
 
         def flush(arr, n_valid):
-            target = chunk
-            if bucket_tail and arr.shape[0] < chunk:
-                target = 32
-                while target < arr.shape[0]:
-                    target *= 2
-                target = min(target, chunk)
+            target = bucket_tail_rows(arr.shape[0], chunk, bucket_tail)
             pad = target - arr.shape[0]
             if pad:
                 arr = jnp.concatenate(

@@ -10,9 +10,11 @@ bits, which numpy's vectorized integer ops do at memory bandwidth:
     u + 0x7FFF + ((u >> 16) & 1)  then take the top 16 bits.
 
 Matches XLA/ml_dtypes RNE semantics for all finite values and +-inf
-(max-float correctly rounds up to inf).  Signalling-NaN payloads with
-all-zero high mantissa bits can collapse to inf — embeddings are finite,
-and the generic path is kept for every other (dtype, input) combination.
+(max-float correctly rounds up to inf).  NaNs are handled by a separate
+masked pass (the rounding add alone would wrap high-mantissa negative
+NaNs around uint32 and emit +0.0); they quantize to a quiet NaN with the
+sign and high payload bits preserved.  The generic path is kept for
+every other (dtype, input) combination.
 """
 
 from __future__ import annotations
@@ -35,4 +37,11 @@ def host_cast(x: np.ndarray, dtype) -> np.ndarray:
     u = x.view(np.uint32)
     r = ((u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1)))
          >> np.uint32(16)).astype(np.uint16)
+    nan = np.isnan(x)
+    if nan.any():
+        # force a quiet NaN: keep sign + high payload bits, set the
+        # quiet bit (the rounding add above is only valid for non-NaNs)
+        r[nan] = ((u[nan] >> np.uint32(16)) | np.uint32(0x0040)).astype(
+            np.uint16
+        )
     return r.view(ml_dtypes.bfloat16)

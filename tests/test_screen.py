@@ -154,10 +154,12 @@ def test_database_screen_engine(tmp_path):
     db = Database(
         db_dir,
         {"top_k": 10, "screen": True, "screen_top_m": 4,
-         "db_dtype": "float32"},
+         "db_dtype": "float32", "backend": "exact"},
         hop_size=0.5,
     )
     assert db.engine == "screen"
+    # the explicit top-M selection knob must reach the screen engine
+    assert db._align.backend == "exact"
     S = 6
     song = 7
     off = int(rng.integers(0, counts[song] - S))

@@ -165,6 +165,14 @@ def test_host_cast_bf16_matches_ml_dtypes():
     ref = x.astype(ml_dtypes.bfloat16)
     assert fast.dtype == ref.dtype
     assert np.array_equal(fast.view(np.uint16), ref.view(np.uint16))
+    # NaNs must stay NaN (the rounding add alone would wrap negative
+    # high-mantissa NaN bits around uint32 and emit +0.0)
+    nans = np.array([0xFFFFFFFF, 0x7FFFFFFF, 0xFFC00000, 0x7F800001],
+                    np.uint32).view(np.float32)
+    out = host_cast(nans, ml_dtypes.bfloat16)
+    assert np.isnan(out.astype(np.float32)).all()
+    # sign bit preserved through the NaN path
+    assert (out.view(np.uint16) >> 15).tolist() == [1, 0, 1, 0]
     # non-fast-path combinations fall back to np.asarray semantics
     y64 = host_cast(x.astype(np.float64), np.float32)
     assert y64.dtype == np.float32

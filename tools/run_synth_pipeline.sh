@@ -34,7 +34,7 @@ for fsm in 2 4; do
     pairs+=("out/queries/synth_snr${snr}/list.txt"
             "out/results/fsm${fsm}_synth_snr${snr}.txt")
   done
-  python matcher.py --pairs out/dbs/fsm${fsm}_synth "${pairs[@]}"
+  python matcher.py --pairs --batch 128 out/dbs/fsm${fsm}_synth "${pairs[@]}"
   for snr in -6 -4 -2 0 2 4 6 8; do
     echo "fsm=${fsm} snr=${snr}"
     python tools/accuracy.py out/queries/synth_snr${snr}/expected.csv \
