@@ -129,7 +129,7 @@ class Database:
         # exhaustive engine to the two-stage one once the DB is past the
         # scale where the exhaustive scan falls under the 5k q/s target
         screen = self.params.get("screen", "auto")
-        if engine == "align" and not self.params.get("sharded", False) and (
+        if engine == "align" and (
             screen is True or (screen == "auto" and len(counts) >= 20_000)
         ):
             engine = "screen"
@@ -140,14 +140,20 @@ class Database:
         self._db = None  # raw matrix uploaded lazily (topk path only)
         self._song_pos = None
         self._sharded = None
-        if engine == "align" and self.params.get("sharded", False) and jax.device_count() > 1:
-            # song-sharded retrieval over all local devices (ICI mesh)
+        sharded = self.params.get("sharded", False) and jax.device_count() > 1
+        if engine in ("align", "screen") and sharded:
+            # song-sharded retrieval over all local devices (ICI mesh);
+            # engine='screen' screens per shard (local coarse prune +
+            # exact rescore, union of local top-M survivors)
             from pfann_tpu.parallel.mesh import make_mesh
             from pfann_tpu.parallel.sharded_search import ShardedDatabase
 
             self._sharded = ShardedDatabase(
-                emb, counts, make_mesh("db"), engine="align",
+                emb, counts, make_mesh("db"), engine=engine,
                 db_dtype=np_dtype,
+                screen_k=int(self.params.get("screen_pool_k", 4)),
+                screen_top_m=int(self.params.get("screen_top_m", 32)),
+                backend=self.params.get("backend", "auto"),
             )
         elif engine == "align":
             from pfann_tpu.index.align import AlignmentEngine

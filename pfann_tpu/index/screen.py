@@ -57,6 +57,109 @@ import numpy as np
 from pfann_tpu.index.align import DEFAULT_PAD, alignment_core
 
 
+def build_screen_layout(
+    embeddings: np.ndarray,
+    counts: np.ndarray,
+    *,
+    pad: int,
+    k: int,
+    d: int,
+    R: int | None = None,
+    n_pad: int | None = None,
+    xla_tail: bool = False,
+):
+    """Uniform-region layout + its overlap-pooled coarse copy.
+
+    Returns (db3 [n_pad, R, d] f32, coarse f32, R, Rc, n_pad).  R/n_pad
+    can be forced so several shards share one program (the sharded path
+    builds every shard with the global maxima).  xla_tail appends pad//k
+    zero rows to the coarse copy for the XLA alignment_core's
+    last-region window overhang (the pallas kernel synthesizes the
+    halo)."""
+    from pfann_tpu.index.align import build_uniform_layout
+    from pfann_tpu.index.pallas_align import PALLAS_G
+
+    lmax = int(counts.max()) if len(counts) else 0
+    assert pad % k == 0, (pad, k)
+    if R is None:
+        # R a multiple of 8k so the pooled region length Rc = R/k
+        # satisfies the kernel's sublane-multiple constraint
+        R = -(-(pad + lmax) // (8 * k)) * (8 * k)
+    Rc = R // k
+    if n_pad is None:
+        n_pad = -(-max(len(counts), 1) // PALLAS_G) * PALLAS_G
+    db2, _ = build_uniform_layout(
+        embeddings, counts, pad=pad, round_r_to=R, pad_songs_to=n_pad,
+        trailing_pad=False,
+    )
+    db3 = db2.reshape(n_pad, R, d)
+    # overlap pooling: bin j = rows [jk, jk+2k).  The +1 shifted add
+    # crosses region boundaries, which is exact: the next region's
+    # first bins pool its leading PAD zeros.
+    c1 = db3.reshape(n_pad * Rc, k, d).sum(axis=1)
+    coarse = c1.copy()
+    coarse[:-1] += c1[1:]
+    if xla_tail:
+        coarse = np.pad(coarse, ((0, pad // k), (0, 0)))
+    return db3, coarse, R, Rc, n_pad
+
+
+def screen_core(
+    db3,
+    coarse,
+    qpad,
+    song_valid,
+    *,
+    k: int,
+    R: int,
+    Rc: int,
+    S: int,
+    n_pad: int,
+    M: int,
+    backend: str,
+    dt,
+    impl: str,
+    interpret: bool,
+):
+    """The two-stage screened query (trace-time building block, shared
+    by the single-device engine and the per-shard body of the sharded
+    path).  qpad [B, S, d]; song_valid [n_pad] bool (False = padding
+    slot, excluded from the screen).  Returns (cand [B, M] region index,
+    best [B, M] exact score sum, argoff [B, M] region offset)."""
+    Sc = -(-S // k)
+    # ---- stage 1: coarse screen over the pooled copy.  Collapse the S
+    # query windows onto their Sc coarse diagonals (sum of windows
+    # sharing i//k) — full signal, 1/k the filter rows.
+    qc = jnp.pad(qpad, ((0, 0), (0, Sc * k - S), (0, 0)))
+    qc = qc.reshape(qpad.shape[0], Sc, k, -1).sum(axis=2)
+    best_c, _ = alignment_core(
+        coarse, qc, R=Rc, S=Sc, n_songs=n_pad,
+        score_dtype=dt, impl=impl, interpret=interpret,
+    )
+    best_c = jnp.where(song_valid[None, :], best_c, -jnp.inf)
+    if backend == "approx":
+        _, cand = jax.lax.approx_max_k(best_c, M, recall_target=0.99)
+    else:
+        _, cand = jax.lax.top_k(best_c, M)  # [B, M]
+
+    # ---- stage 2: exact alignment over the surviving regions
+    g = jnp.take(db3, cand, axis=0)  # [B, M, R, d]
+    scores = jnp.einsum(
+        "bmrd,bsd->bmrs", g, qpad.astype(dt),
+        preferred_element_type=dt,
+    )
+    scores = jnp.pad(scores, ((0, 0), (0, 0), (0, S), (0, 0)))
+    align = scores[:, :, 0:R, 0].astype(jnp.float32)
+    for i in range(1, S):
+        align = align + scores[:, :, i : R + i, i].astype(jnp.float32)
+    best = jnp.max(align, axis=2)  # [B, M]
+    offs = jax.lax.broadcasted_iota(jnp.int32, align.shape, 2)
+    argoff = jnp.max(
+        jnp.where(align >= best[:, :, None], offs, -1), axis=2
+    )
+    return cand, best, argoff
+
+
 class ScreenedAlignmentEngine:
     """Drop-in for AlignmentEngine (same search/search_top1_device
     contract) with a coarse screening pass in front of the exact scan.
@@ -101,32 +204,11 @@ class ScreenedAlignmentEngine:
 
         self.max_batch = LANE_B if impl == "pallas" else 128
 
-        # region geometry: R a multiple of 8k so the pooled region length
-        # Rc = R/k satisfies the kernel's sublane-multiple constraint
-        lmax = int(counts.max()) if self.n_songs else 0
-        assert pad % k == 0, (pad, k)
-        R = -(-(pad + lmax) // (8 * k)) * (8 * k)
-        self.R = R
-        self.Rc = R // k
-        n_pad = -(-max(self.n_songs, 1) // PALLAS_G) * PALLAS_G
-        self.n_pad = n_pad
-
-        from pfann_tpu.index.align import build_uniform_layout
-
-        db2, _ = build_uniform_layout(
-            embeddings, counts, pad=pad, round_r_to=R, pad_songs_to=n_pad,
-            trailing_pad=False,
+        db3, coarse, self.R, self.Rc, n_pad = build_screen_layout(
+            embeddings, counts, pad=pad, k=k, d=self.d,
+            xla_tail=(impl != "pallas"),
         )
-        db3 = db2.reshape(n_pad, R, self.d)
-        # overlap pooling: bin j = rows [jk, jk+2k).  The +1 shifted add
-        # crosses region boundaries, which is exact: the next region's
-        # first bins pool its leading PAD zeros.
-        c1 = db3.reshape(n_pad * self.Rc, k, self.d).sum(axis=1)
-        coarse = c1.copy()
-        coarse[:-1] += c1[1:]
-        if impl != "pallas":
-            # XLA alignment_core windows overhang the last region
-            coarse = np.pad(coarse, ((0, pad // k), (0, 0)))
+        self.n_pad = n_pad
         from pfann_tpu.utils.fastcast import host_cast
 
         self._db3 = jax.device_put(
@@ -134,6 +216,9 @@ class ScreenedAlignmentEngine:
         )
         self._coarse = jax.device_put(
             jnp.asarray(host_cast(coarse, score_dtype)), device
+        )
+        self._song_valid = jax.device_put(
+            jnp.asarray(np.arange(n_pad) < self.n_songs), device
         )
         self._fns: dict = {}
 
@@ -147,45 +232,16 @@ class ScreenedAlignmentEngine:
         exact best region offset)."""
         if S in self._fns:
             return self._fns[S]
-        k, Rc, R, M = self.k, self.Rc, self.R, self.top_m
-        n_songs, n_pad = self.n_songs, self.n_pad
-        Sc = -(-S // k)
-        impl, interpret, backend = self.impl, self.interpret, self.backend
-        dt = self.score_dtype
+        core = functools.partial(
+            screen_core,
+            k=self.k, R=self.R, Rc=self.Rc, S=S, n_pad=self.n_pad,
+            M=self.top_m, backend=self.backend, dt=self.score_dtype,
+            impl=self.impl, interpret=self.interpret,
+        )
 
         @jax.jit
-        def fn(db3, coarse, qpad):
-            # ---- stage 1: coarse screen over the pooled copy.  Collapse
-            # the S query windows onto their Sc coarse diagonals (sum of
-            # windows sharing i//k) — full signal, 1/k the filter rows.
-            qc = jnp.pad(qpad, ((0, 0), (0, Sc * k - S), (0, 0)))
-            qc = qc.reshape(qpad.shape[0], Sc, k, -1).sum(axis=2)
-            best_c, _ = alignment_core(
-                coarse, qc, R=Rc, S=Sc, n_songs=n_pad,
-                score_dtype=dt, impl=impl, interpret=interpret,
-            )
-            best_c = best_c[:, :n_songs]  # drop padding songs
-            if backend == "approx":
-                _, cand = jax.lax.approx_max_k(best_c, M, recall_target=0.99)
-            else:
-                _, cand = jax.lax.top_k(best_c, M)  # [B, M]
-
-            # ---- stage 2: exact alignment over the surviving regions
-            g = jnp.take(db3, cand, axis=0)  # [B, M, R, d]
-            scores = jnp.einsum(
-                "bmrd,bsd->bmrs", g, qpad.astype(dt),
-                preferred_element_type=dt,
-            )
-            scores = jnp.pad(scores, ((0, 0), (0, 0), (0, S), (0, 0)))
-            align = scores[:, :, 0:R, 0].astype(jnp.float32)
-            for i in range(1, S):
-                align = align + scores[:, :, i : R + i, i].astype(jnp.float32)
-            best = jnp.max(align, axis=2)  # [B, M]
-            offs = jax.lax.broadcasted_iota(jnp.int32, align.shape, 2)
-            argoff = jnp.max(
-                jnp.where(align >= best[:, :, None], offs, -1), axis=2
-            )
-            return cand, best, argoff
+        def fn(db3, coarse, qpad, song_valid):
+            return core(db3, coarse, qpad, song_valid)
 
         self._fns[S] = fn
         return fn
@@ -208,7 +264,10 @@ class ScreenedAlignmentEngine:
                      np.zeros((self.max_batch - arr.shape[0], S, self.d),
                               arr.dtype)]
                 )
-            outs.append(fn(self._db3, self._coarse, jnp.asarray(chunk)))
+            outs.append(
+                fn(self._db3, self._coarse, jnp.asarray(chunk),
+                   self._song_valid)
+            )
         return outs
 
     def search_device(self, filters):

@@ -75,6 +75,8 @@ class ShardedDatabase:
         align_pad: int = 32,
         impl: str = "auto",
         interpret: bool = False,
+        screen_k: int = 4,
+        screen_top_m: int = 32,
     ):
         self.mesh = mesh
         self.axis = axis
@@ -82,6 +84,8 @@ class ShardedDatabase:
         self.top_k = top_k
         self.frame_shift_mul = frame_shift_mul
         self.score_alpha = score_alpha
+        if backend == "auto":
+            backend = "approx" if jax.default_backend() == "tpu" else "exact"
         self.backend = backend
         self.engine = engine
         # align-engine kernel choice: the fused Pallas kernel on TPU (the
@@ -103,7 +107,56 @@ class ShardedDatabase:
         songs_max = max((len(g) for g in groups), default=0)
         shard = NamedSharding(mesh, P(axis))
 
-        if engine == "align":
+        if engine == "screen":
+            # per-shard two-stage screened retrieval (index/screen.py):
+            # each chip screens ITS songs with the pooled coarse copy and
+            # rescores its local top-M exactly — the union over shards is
+            # a superset of the global top-M, so recall vs the
+            # single-device screened engine can only improve.  Common
+            # R/n_pad across shards -> one compiled program per chip.
+            from pfann_tpu.index.pallas_align import PALLAS_G
+            from pfann_tpu.index.screen import build_screen_layout
+
+            self.screen_k = screen_k
+            lmax = int(counts.max()) if len(counts) else 0
+            assert align_pad % screen_k == 0, (align_pad, screen_k)
+            R = -(-(align_pad + lmax) // (8 * screen_k)) * (8 * screen_k)
+            self.R = R
+            n_pad = -(-max(songs_max, 1) // PALLAS_G) * PALLAS_G
+            songs_max = n_pad
+            self.top_m = min(screen_top_m, songs_max)
+            db3_sh, coarse_sh, valid_sh = [], [], []
+            song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
+            for si, g in enumerate(groups):
+                loc_counts = np.asarray([int(counts[s]) for s in g],
+                                        dtype=np.int64)
+                loc_emb = (
+                    np.concatenate([
+                        embeddings[song_pos[s] : song_pos[s] + int(counts[s])]
+                        for s in g
+                    ])
+                    if g
+                    else np.zeros((0, self.d), np.float32)
+                )
+                db3, coarse, _, self.Rc, _ = build_screen_layout(
+                    loc_emb, loc_counts, pad=align_pad, k=screen_k,
+                    d=self.d, R=R, n_pad=n_pad,
+                    xla_tail=(self.impl != "pallas"),
+                )
+                db3_sh.append(db3)
+                coarse_sh.append(coarse)
+                valid_sh.append(np.arange(n_pad) < len(g))
+                song_map[si, : len(g)] = g
+            shard_cast = lambda a: jax.device_put(
+                jnp.asarray(host_cast(np.stack(a), db_dtype)), shard
+            )
+            self._db = shard_cast(db3_sh)
+            self._coarse = shard_cast(coarse_sh)
+            self._song_valid = jax.device_put(
+                jnp.asarray(np.stack(valid_sh)), shard
+            )
+            self._song_pos = None
+        elif engine == "align":
             # uniform-region layout per shard (index/align.py), common R
             # across shards so one program serves every chip
             lmax = int(counts.max()) if len(counts) else 0
@@ -168,6 +221,32 @@ class ShardedDatabase:
         alpha, backend = self.score_alpha, self.backend
         songs_max = self.songs_max
 
+        if self.engine == "screen":
+            from pfann_tpu.index.screen import screen_core
+
+            core = partial(
+                screen_core,
+                k=self.screen_k, R=self.R, Rc=self.Rc, S=S,
+                n_pad=songs_max, M=self.top_m, backend=self.backend,
+                dt=self._db.dtype, impl=self.impl,
+                interpret=self.interpret,
+            )
+
+            @partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P()),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+            def sharded_screen(db3_sh, coarse_sh, valid_sh, qpad):
+                cand, best, argoff = core(
+                    db3_sh[0], coarse_sh[0], qpad, valid_sh[0]
+                )
+                return cand[None], best[None], argoff[None]
+
+            return jax.jit(sharded_screen)
+
         if self.engine == "align":
             from pfann_tpu.index.align import alignment_core
 
@@ -226,9 +305,35 @@ class ShardedDatabase:
         matching query_batch / AlignmentEngine._top1 semantics.  inv_len
         is traced so one compiled program serves every true query length
         inside the (Sp, Bp) bucket."""
-        assert self.engine == "align"
+        assert self.engine in ("align", "screen")
         qfn = self._make_query_fn(Sp, Bp)
         pad = self.pad
+        songs_max = self.songs_max
+
+        if self.engine == "screen":
+
+            @jax.jit
+            def top1_screen(db_sh, coarse_sh, valid_sh, qpad, inv_len):
+                # cand/best/argoff: [n_shards, Bp, M]; flat index =
+                # shard * songs_max + local slot so flat_to_song's
+                # song_map.reshape(-1) lookup works unchanged
+                cand, best, argoff = qfn(db_sh, coarse_sh, valid_sh, qpad)
+                n_shards = cand.shape[0]
+                gflat = cand + (
+                    jnp.arange(n_shards, dtype=cand.dtype)[:, None, None]
+                    * songs_max
+                )
+                sc = (best * inv_len).astype(jnp.float32)
+                flat = sc.transpose(1, 0, 2).reshape(Bp, -1)
+                id_flat = gflat.transpose(1, 0, 2).reshape(Bp, -1)
+                off_flat = argoff.transpose(1, 0, 2).reshape(Bp, -1)
+                idx = jnp.argmax(flat, axis=1)
+                val = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0]
+                fid = jnp.take_along_axis(id_flat, idx[:, None], 1)[:, 0]
+                off = jnp.take_along_axis(off_flat, idx[:, None], 1)[:, 0]
+                return val, fid, off - pad
+
+            return top1_screen
 
         @jax.jit
         def top1(db_sh, qpad, inv_len):
@@ -256,7 +361,7 @@ class ShardedDatabase:
         sees full 128-lane groups."""
         B, S, _ = qpad.shape
         Sp = bucket_windows(S, self.pad)
-        if self.engine == "align" and self.impl == "pallas":
+        if self.engine in ("align", "screen") and self.impl == "pallas":
             from pfann_tpu.index.pallas_align import LANE
 
             Bp = -(-B // LANE) * LANE
@@ -267,9 +372,15 @@ class ShardedDatabase:
         key = ("top1", Sp, Bp)
         if key not in self._query_cache:
             self._query_cache[key] = self._make_top1_fn(Sp, Bp)
-        val, idx, off = self._query_cache[key](
-            self._db, qpad, jnp.float32(1.0 / S)
-        )
+        if self.engine == "screen":
+            val, idx, off = self._query_cache[key](
+                self._db, self._coarse, self._song_valid, qpad,
+                jnp.float32(1.0 / S),
+            )
+        else:
+            val, idx, off = self._query_cache[key](
+                self._db, qpad, jnp.float32(1.0 / S)
+            )
         if Bp != B:
             val, idx, off = val[:B], idx[:B], off[:B]
         return val, idx, off
@@ -290,7 +401,7 @@ class ShardedDatabase:
         # the compiled program (zero-padded rows contribute zero score);
         # the pallas kernel additionally needs B in full 128-lane groups
         S = bucket_windows(S, self.pad)
-        if self.engine == "align" and self.impl == "pallas":
+        if self.engine in ("align", "screen") and self.impl == "pallas":
             from pfann_tpu.index.pallas_align import LANE
 
             Bp = -(-B // LANE) * LANE
@@ -304,6 +415,32 @@ class ShardedDatabase:
         key = (S, Bp)
         if key not in self._query_cache:
             self._query_cache[key] = self._make_query_fn(S, Bp)
+        if self.engine == "screen":
+            # per-shard top-M survivors scattered into the global table;
+            # pruned songs keep (0, 0) — the screened engine's
+            # untouched-candidate convention (index/screen.py:search)
+            cand, best, argoff = self._query_cache[key](
+                self._db, self._coarse, self._song_valid, jnp.asarray(qpad)
+            )
+            cand = np.asarray(cand)[:, :B]     # [n_shards, B, M]
+            best = np.asarray(best)[:, :B]
+            argoff = np.asarray(argoff)[:, :B]
+            lens = np.maximum(
+                np.asarray([q.shape[0] for q in queries]), 1
+            ).astype(np.float32)
+            out_max = np.zeros((B, self.n_songs), dtype=np.float32)
+            out_time = np.zeros((B, self.n_songs), dtype=np.float32)
+            bidx = np.broadcast_to(
+                np.arange(B)[:, None], (B, self.top_m)
+            )
+            for si in range(self.n_shards):
+                ids = self.song_map[si][cand[si]]  # [B, M]; -1 = padding
+                ok = ids >= 0
+                out_max[bidx[ok], ids[ok]] = (
+                    best[si] / lens[:, None]
+                )[ok]
+                out_time[bidx[ok], ids[ok]] = (argoff[si] - self.pad)[ok]
+            return out_max, out_time
         if self.engine == "align":
             best, argoff = self._query_cache[key](
                 self._db, jnp.asarray(qpad), jnp.asarray(valid)

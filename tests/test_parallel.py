@@ -369,3 +369,95 @@ def test_database_sharded_fsm2(tmp_path):
     assert ss == s1 == 6
     assert ts == pytest.approx(t1)
     np.testing.assert_allclose(bs, b1, rtol=1e-4)
+
+
+def test_sharded_screen_matches_exhaustive():
+    """Sharded screened retrieval (per-shard coarse prune + exact local
+    rescore): the winner and its exact (score, time) must match the
+    single-device EXHAUSTIVE engine — stage 2 is the same alignment sum,
+    and the union of per-shard top-M is a superset of the global top-M."""
+    from pfann_tpu.index.align import AlignmentEngine
+
+    rng = np.random.default_rng(21)
+    db, counts, song_pos = make_db(rng, n_songs=24, min_len=10, max_len=30)
+    mesh = make_mesh("db", 4)
+    sdb = ShardedDatabase(
+        db, counts, mesh, engine="screen", db_dtype=jnp.float32,
+        align_pad=16, screen_k=4, screen_top_m=5,
+    )
+    single = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32,
+                             impl="xla")
+    for song in (0, 9, 23):
+        q = db[song_pos[song] + 1 : song_pos[song] + 7].copy()
+        q += 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+        smax, stime = sdb.query_batch([q])
+        s_score, s_t = single.search(q[None], np.asarray([q.shape[0]]))
+        assert int(np.argmax(smax[0])) == int(np.argmax(s_score[0])) == song
+        # every survivor carries the EXACT alignment score/offset
+        surv = smax[0] != 0
+        np.testing.assert_allclose(
+            smax[0][surv], s_score[0][surv], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(stime[0][surv], s_t[0][surv], atol=0)
+
+
+def test_sharded_screen_top1_device():
+    """Screen-engine serving finalize: device top-1 == query_batch answer,
+    flat index maps through flat_to_song, offsets pad-corrected."""
+    rng = np.random.default_rng(22)
+    db, counts, song_pos = make_db(rng, n_songs=24, min_len=10, max_len=30)
+    mesh = make_mesh("db", 4)
+    sdb = ShardedDatabase(
+        db, counts, mesh, engine="screen", db_dtype=jnp.float32,
+        align_pad=16, screen_k=4, screen_top_m=5,
+    )
+    S, B = 6, 3
+    qpad = np.zeros((B, S, db.shape[1]), np.float32)
+    targets = [2, 11, 19]
+    for i, song in enumerate(targets):
+        q = db[song_pos[song] + 2 : song_pos[song] + 2 + S].copy()
+        q += 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+        qpad[i] = q
+    val, idx, off = sdb.search_top1_device(jnp.asarray(qpad))
+    songs = sdb.flat_to_song(np.asarray(idx))
+    assert songs.tolist() == targets
+    smax, stime = sdb.query_batch(list(qpad))
+    for i in range(B):
+        assert int(np.argmax(smax[i])) == targets[i]
+        assert float(np.asarray(off)[i]) == stime[i][targets[i]] == 2.0
+        np.testing.assert_allclose(
+            float(np.asarray(val)[i]), smax[i][targets[i]], rtol=1e-5
+        )
+
+
+def test_database_sharded_screen(tmp_path):
+    """Database wires sharded+screen together (the 100k-track multi-chip
+    serving shape) through the standard query contract."""
+    import os
+
+    from pfann_tpu.index.database import Database, write_index_meta
+
+    rng = np.random.default_rng(23)
+    db, counts, song_pos = make_db(rng, n_songs=16, min_len=12, d=8)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(16)))
+    write_index_meta(dbdir, d=8)
+
+    d_sh = Database(
+        dbdir,
+        {"top_k": 5, "db_dtype": "float32", "sharded": True,
+         "screen": True, "screen_top_m": 4, "backend": "exact"},
+        hop_size=0.5,
+    )
+    assert d_sh.engine == "screen" and d_sh._sharded is not None
+    assert d_sh._sharded.engine == "screen"
+    q = db[song_pos[13] + 1 : song_pos[13] + 7].copy()
+    q += 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+    sco, (sid, tsec), table = d_sh.query_embeddings(q)
+    assert sid == 13
+    assert tsec == pytest.approx(1 * 0.5)
+    assert table.shape == (16, 2)
