@@ -257,9 +257,41 @@ def sustained_train(config_path: str) -> None:
     }))
 
 
+def _wait_for_backend(retries: int = 5, delay_s: float = 120.0) -> None:
+    """The tunneled TPU relay sporadically reports UNAVAILABLE for
+    10+ minutes (observed during round 3).  The driver runs this script
+    once at round end — wait for the relay instead of losing the round's
+    benchmark artifact to a transient outage.  Probe in a SUBPROCESS
+    (jax caches a failed backend init in-process) and only init the
+    in-process backend once a probe succeeds."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("PFANN_PLATFORM", "").startswith("cpu"):
+        return  # CPU-forced dev runs never wait on the relay
+    for attempt in range(retries):
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=1200,
+        )
+        if r.returncode == 0:
+            return
+        if attempt == retries - 1:
+            sys.stderr.write(r.stderr.decode()[-400:] + "\n")
+            raise RuntimeError("backend unavailable after %d probes" % retries)
+        print(
+            "backend probe failed; retry %d/%d in %.0fs"
+            % (attempt + 1, retries, delay_s),
+            file=sys.stderr,
+        )
+        time.sleep(delay_s)
+
+
 if __name__ == "__main__":
     import sys as _sys
 
+    _wait_for_backend()
     if "--train-epoch" in _sys.argv:
         at = _sys.argv.index("--train-epoch")
         cfg = (_sys.argv[at + 1] if len(_sys.argv) > at + 1
