@@ -48,8 +48,12 @@ def main(sharded: bool = False, scale: int = 0) -> None:
         # the >=5k target.
         from pfann_tpu.index.screen import ScreenedAlignmentEngine
 
+        import os
+
         engine = ScreenedAlignmentEngine(
-            emb, counts, score_dtype=jnp.bfloat16, k=4, top_m=32
+            emb, counts, score_dtype=jnp.bfloat16,
+            k=int(os.environ.get("BENCH_SCREEN_K", 4)),
+            top_m=int(os.environ.get("BENCH_SCREEN_M", 32)),
         )
         map_song = np.asarray
     elif sharded:
