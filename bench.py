@@ -275,14 +275,20 @@ def _wait_for_backend(retries: int = 5, delay_s: float = 120.0) -> None:
     if os.environ.get("PFANN_PLATFORM", "").startswith("cpu"):
         return  # CPU-forced dev runs never wait on the relay
     for attempt in range(retries):
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=1200,
-        )
-        if r.returncode == 0:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=1200,
+            )
+            ok, err = r.returncode == 0, r.stderr.decode()[-400:]
+        except subprocess.TimeoutExpired:
+            # a HUNG probe (relay black-holes instead of erroring) is a
+            # failed attempt, not a crash
+            ok, err = False, "probe timed out after 1200s"
+        if ok:
             return
         if attempt == retries - 1:
-            sys.stderr.write(r.stderr.decode()[-400:] + "\n")
+            sys.stderr.write(err + "\n")
             raise RuntimeError("backend unavailable after %d probes" % retries)
         print(
             "backend probe failed; retry %d/%d in %.0fs"

@@ -57,6 +57,21 @@ import numpy as np
 from pfann_tpu.index.align import DEFAULT_PAD, alignment_core
 
 
+def screen_geometry(lmax: int, n_songs: int, pad: int, k: int):
+    """(R, n_pad) for a screened layout: R a multiple of 8k so the
+    pooled region length Rc = R/k satisfies the kernel's sublane-multiple
+    constraint; songs rounded to the Pallas song-group size.  One
+    definition shared by the single-device engine and the sharded build
+    (which forces the GLOBAL geometry onto every shard so one compiled
+    program serves all chips)."""
+    from pfann_tpu.index.pallas_align import PALLAS_G
+
+    assert pad % k == 0, (pad, k)
+    R = -(-(pad + lmax) // (8 * k)) * (8 * k)
+    n_pad = -(-max(n_songs, 1) // PALLAS_G) * PALLAS_G
+    return R, n_pad
+
+
 def build_screen_layout(
     embeddings: np.ndarray,
     counts: np.ndarray,
@@ -77,17 +92,14 @@ def build_screen_layout(
     last-region window overhang (the pallas kernel synthesizes the
     halo)."""
     from pfann_tpu.index.align import build_uniform_layout
-    from pfann_tpu.index.pallas_align import PALLAS_G
 
     lmax = int(counts.max()) if len(counts) else 0
-    assert pad % k == 0, (pad, k)
+    gR, gn = screen_geometry(lmax, len(counts), pad, k)
     if R is None:
-        # R a multiple of 8k so the pooled region length Rc = R/k
-        # satisfies the kernel's sublane-multiple constraint
-        R = -(-(pad + lmax) // (8 * k)) * (8 * k)
+        R = gR
     Rc = R // k
     if n_pad is None:
-        n_pad = -(-max(len(counts), 1) // PALLAS_G) * PALLAS_G
+        n_pad = gn
     db2, _ = build_uniform_layout(
         embeddings, counts, pad=pad, round_r_to=R, pad_songs_to=n_pad,
         trailing_pad=False,
@@ -141,6 +153,10 @@ def screen_core(
         _, cand = jax.lax.approx_max_k(best_c, M, recall_target=0.99)
     else:
         _, cand = jax.lax.top_k(best_c, M)  # [B, M]
+    # approx_max_k takes per-bin maxima WITHOUT value filtering, so a
+    # bin of all-padding slots can surface a masked index; re-validate
+    # the selection (exact top_k never picks -inf while M <= n_real)
+    sel_ok = jnp.take(song_valid, cand)  # [B, M]
 
     # ---- stage 2: exact alignment over the surviving regions
     g = jnp.take(db3, cand, axis=0)  # [B, M, R, d]
@@ -157,6 +173,11 @@ def screen_core(
     argoff = jnp.max(
         jnp.where(align >= best[:, :, None], offs, -1), axis=2
     )
+    # invalid survivors (possible only via approx_max_k, above) are
+    # neutralized with -inf so no downstream argmax ever selects them;
+    # consumers that scatter by cand must additionally filter on
+    # finite scores (screen.py:search, sharded query_batch's ids >= 0)
+    best = jnp.where(sel_ok, best, -jnp.inf)
     return cand, best, argoff
 
 
@@ -307,10 +328,15 @@ class ScreenedAlignmentEngine:
             best = np.asarray(best)
             argoff = np.asarray(argoff)
             n = min(cand.shape[0], B - at)
-            rows = np.arange(at, at + n)[:, None]
-            song_score[rows, cand[:n]] = (
-                best[:n] / np.maximum(sub_lens[at : at + n], 1)[:, None]
+            # approx_max_k survivors can include padding slots (cand >=
+            # n_songs, best = -inf) — exclude them from the scatter
+            ok = np.isfinite(best[:n]) & (cand[:n] < self.n_songs)
+            rows = np.broadcast_to(
+                np.arange(at, at + n)[:, None], ok.shape
             )
-            song_t[rows, cand[:n]] = argoff[:n] - self.pad
+            song_score[rows[ok], cand[:n][ok]] = (
+                best[:n] / np.maximum(sub_lens[at : at + n], 1)[:, None]
+            )[ok]
+            song_t[rows[ok], cand[:n][ok]] = (argoff[:n] - self.pad)[ok]
             at += n
         return song_score, song_t

@@ -114,30 +114,39 @@ class ShardedDatabase:
             # a superset of the global top-M, so recall vs the
             # single-device screened engine can only improve.  Common
             # R/n_pad across shards -> one compiled program per chip.
-            from pfann_tpu.index.pallas_align import PALLAS_G
-            from pfann_tpu.index.screen import build_screen_layout
+            from pfann_tpu.index.screen import (
+                build_screen_layout,
+                screen_geometry,
+            )
 
             self.screen_k = screen_k
             lmax = int(counts.max()) if len(counts) else 0
-            assert align_pad % screen_k == 0, (align_pad, screen_k)
-            R = -(-(align_pad + lmax) // (8 * screen_k)) * (8 * screen_k)
+            # GLOBAL geometry forced onto every shard -> one program
+            R, n_pad = screen_geometry(lmax, songs_max, align_pad, screen_k)
             self.R = R
-            n_pad = -(-max(songs_max, 1) // PALLAS_G) * PALLAS_G
             songs_max = n_pad
             self.top_m = min(screen_top_m, songs_max)
             db3_sh, coarse_sh, valid_sh = [], [], []
             song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
+            counts_np = np.asarray(counts, dtype=np.int64)
             for si, g in enumerate(groups):
-                loc_counts = np.asarray([int(counts[s]) for s in g],
-                                        dtype=np.int64)
-                loc_emb = (
-                    np.concatenate([
-                        embeddings[song_pos[s] : song_pos[s] + int(counts[s])]
-                        for s in g
-                    ])
-                    if g
-                    else np.zeros((0, self.d), np.float32)
-                )
+                ga = np.asarray(g, dtype=np.int64)
+                loc_counts = counts_np[ga] if len(g) else np.zeros(0, np.int64)
+                # vectorized ragged gather (no per-song Python slicing —
+                # minutes of build latency at the 100k-track scale):
+                # row i of the output is embeddings[starts_rep[i] + local
+                # offset within its song]
+                if len(g):
+                    starts = song_pos[ga]
+                    ends = np.cumsum(loc_counts)
+                    idx = (
+                        np.repeat(starts, loc_counts)
+                        + np.arange(int(ends[-1]))
+                        - np.repeat(ends - loc_counts, loc_counts)
+                    )
+                    loc_emb = embeddings[idx]
+                else:
+                    loc_emb = np.zeros((0, self.d), np.float32)
                 db3, coarse, _, self.Rc, _ = build_screen_layout(
                     loc_emb, loc_counts, pad=align_pad, k=screen_k,
                     d=self.d, R=R, n_pad=n_pad,

@@ -461,3 +461,31 @@ def test_database_sharded_screen(tmp_path):
     assert sid == 13
     assert tsec == pytest.approx(1 * 0.5)
     assert table.shape == (16, 2)
+
+
+def test_sharded_screen_topm_exceeds_shard_size():
+    """A shard with fewer real songs than top_m selects -inf padding
+    slots as 'survivors' — they must be neutralized (never win top-1,
+    never corrupt the score table)."""
+    from pfann_tpu.index.align import AlignmentEngine
+
+    rng = np.random.default_rng(24)
+    db, counts, song_pos = make_db(rng, n_songs=6, min_len=10, max_len=20)
+    mesh = make_mesh("db", 4)  # 1-2 songs per shard << top_m=5
+    sdb = ShardedDatabase(
+        db, counts, mesh, engine="screen", db_dtype=jnp.float32,
+        align_pad=16, screen_k=4, screen_top_m=5,
+    )
+    single = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32,
+                             impl="xla")
+    q = db[song_pos[4] + 1 : song_pos[4] + 7].copy()
+    q += 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+    smax, stime = sdb.query_batch([q])
+    assert np.isfinite(smax).all()  # no -inf padding leak
+    s_score, _ = single.search(q[None], np.asarray([q.shape[0]]))
+    assert int(np.argmax(smax[0])) == int(np.argmax(s_score[0])) == 4
+    val, idx, off = sdb.search_top1_device(
+        jnp.asarray(q[None].astype(np.float32))
+    )
+    assert sdb.flat_to_song(np.asarray(idx)).tolist() == [4]
+    assert np.isfinite(np.asarray(val)).all()
