@@ -389,3 +389,44 @@ def test_extractemb_matchemb_pipeline(db_and_model, corpus, tmp_path):
     )
     got = [line.split("\t")[1].strip() for line in open(result)]
     assert got == answers
+
+
+def test_rebuild_and_matchfromgt_cli(db_and_model, corpus, tmp_path):
+    """rebuild rewrites index_meta consistently; matchfromgt scores a
+    query against its ground-truth song only (the oracle diagnostic,
+    reference matchfromgt.py:26-170) and recovers the crop offset."""
+    import json
+
+    cfg, db_dir = db_and_model
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+
+    meta_path = os.path.join(db_dir, "index_meta.json")
+    before = json.load(open(meta_path))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "rebuild.py"), db_dir],
+        check=True, env=env, cwd=REPO,
+    )
+    after = json.load(open(meta_path))
+    assert after["d"] == before["d"]
+    assert after["ntotal"] == before["ntotal"] == 75
+
+    path, wav = corpus[3]
+    start = 2 * 8000  # hop-aligned 2 s in
+    qpath = str(tmp_path / "gq.wav")
+    write_wav(qpath, wav[start : start + 2 * 8000], 8000)
+    qlist = str(tmp_path / "qlist.txt")
+    with open(qlist, "w") as f:
+        f.write(qpath + "\n")
+    gt = str(tmp_path / "gt.tsv")
+    with open(gt, "w") as f:
+        f.write("gq\t%s\n" % os.path.splitext(os.path.basename(path))[0])
+    result = str(tmp_path / "gt_result.csv")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "matchfromgt.py"),
+         qlist, gt, db_dir, result],
+        check=True, env=env, cwd=REPO,
+    )
+    rows = list(csv.reader(open(result)))
+    assert rows[0][:4] == ["query", "answer", "score", "time"]
+    assert rows[1][0] == qpath and rows[1][1] == path
+    assert float(rows[1][3]) == 2.0  # crop offset recovered in seconds
