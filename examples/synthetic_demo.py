@@ -21,6 +21,11 @@ sys.path.insert(0, REPO)
 
 from pfann_tpu.audio.io import write_wav  # noqa: E402
 from pfann_tpu.utils.config import write_config  # noqa: E402
+from pfann_tpu.utils.platform import apply_platform_override  # noqa: E402
+
+# honor PFANN_PLATFORM / PFANN_COMPILE_CACHE exactly like the CLIs (the
+# builder/matcher subprocesses below pick them up from the environment)
+apply_platform_override()
 
 
 def make_song(rng, n_sec, sr=8000):
