@@ -120,3 +120,32 @@ def test_two_stage_shuffler_covers_all():
 
 def test_batched_keeps_partial():
     assert list(batched(iter(range(7)), 3)) == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+@pytest.mark.slow
+def test_train_cli_dp_mock(tmp_path):
+    """train.py --mock --dp: the CLI wires the data-parallel mesh over
+    all local devices (8 virtual CPU devices here) end to end."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = dict(TINY, model_dir=str(tmp_path / "m"), epoch=1)
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump(cfg, open(cfg_path, "w"))
+    env = dict(
+        os.environ,
+        PFANN_PLATFORM="cpu",
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8").strip(),
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "train.py"), "-p", cfg_path,
+         "--mock", "--dp", "-w", "0"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "data-parallel over 8 devices" in r.stdout
+    assert os.path.exists(os.path.join(cfg["model_dir"], "model.msgpack"))

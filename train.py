@@ -26,6 +26,15 @@ def main() -> None:
     args.add_argument("-p", "--params", default="configs/default.json")
     args.add_argument("-w", "--workers", type=int, default=4)
     args.add_argument("--mock", action="store_true")
+    # green-field vs the reference (single GPU): data-parallel training
+    # over every local device via a jax.sharding Mesh — params
+    # replicated, batch rows sharded, XLA inserts the gradient psum
+    # (pfann_tpu/train/trainer.py).  2*batch_size must divide the
+    # device count.
+    args.add_argument(
+        "--dp", action="store_true",
+        help="data-parallel over all local devices",
+    )
     args = args.parse_args()
     logger.info(args)
 
@@ -44,7 +53,23 @@ def main() -> None:
     val_data.eval_time_shift = True
     print("validation data contains %d samples" % len(val_data.dataset))
 
-    trainer = Trainer(params)
+    mesh = None
+    if args.dp:
+        import jax
+
+        from pfann_tpu.parallel.mesh import make_mesh
+
+        n = jax.device_count()
+        rows = 2 * params["batch_size"]
+        if rows % n:
+            raise SystemExit(
+                "--dp needs 2*batch_size (%d) divisible by the device "
+                "count (%d)" % (rows, n)
+            )
+        print("data-parallel over %d devices" % n)
+        mesh = make_mesh("dp", n)
+
+    trainer = Trainer(params, mesh=mesh)
     trainer.fit(train_data, val_data, config_path=args.params)
 
 
