@@ -24,6 +24,10 @@ import time
 
 import numpy as np
 
+from pfann_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()  # PFANN_PLATFORM=cpu dev runs / compile cache
+
 
 def main(sharded: bool = False, scale: int = 0) -> None:
     import jax
@@ -124,9 +128,19 @@ def main(sharded: bool = False, scale: int = 0) -> None:
     ]
     jax.block_until_ready(batches)
 
-    def run(M):
+    def run(M, trial):
+        # every trial rescales the queries by a distinct, exactly-bf16-
+        # representable factor: score argmax/timing-relevant compute are
+        # unchanged, but the input BYTES differ per trial, so the relay's
+        # input-keyed execution cache (CLAUDE.md gotcha) can never serve
+        # a repeat trial — min-over-trials stays an honest slope.  The
+        # [B,S,d] elementwise scale is HBM-trivial next to the alignment
+        # matmul.
+        scale = jnp.bfloat16(1.0 + trial / 64.0)
         t0 = time.time()
-        outs = [engine.search_top1_device(batches[j]) for j in range(M)]
+        outs = [
+            engine.search_top1_device(batches[j] * scale) for j in range(M)
+        ]
         for o in outs:
             np.asarray(o[0][0])  # [B] best-song ids — forces completion
         return time.time() - t0
@@ -136,8 +150,8 @@ def main(sharded: bool = False, scale: int = 0) -> None:
     # slope estimates as the uncontended throughput
     import sys
 
-    t1s = [run(4) for _ in range(4)]
-    t2s = [run(16) for _ in range(4)]
+    t1s = [run(4, t) for t in range(4)]
+    t2s = [run(16, 4 + t) for t in range(4)]
     print(
         "t4(ms): %s  t16(ms): %s"
         % (["%.0f" % (t * 1000) for t in t1s], ["%.0f" % (t * 1000) for t in t2s]),

@@ -66,7 +66,12 @@ def screen_geometry(lmax: int, n_songs: int, pad: int, k: int):
     program serves all chips)."""
     from pfann_tpu.index.pallas_align import PALLAS_G
 
-    assert pad % k == 0, (pad, k)
+    if pad % k != 0:
+        raise ValueError(
+            "screen_pool_k (%d) must divide the alignment pad (%d) — the "
+            "coarse layout's leading-zero invariant needs whole pooled "
+            "bins of padding" % (k, pad)
+        )
     R = -(-(pad + lmax) // (8 * k)) * (8 * k)
     n_pad = -(-max(n_songs, 1) // PALLAS_G) * PALLAS_G
     return R, n_pad
@@ -100,11 +105,16 @@ def build_screen_layout(
     Rc = R // k
     if n_pad is None:
         n_pad = gn
-    db2, _ = build_uniform_layout(
-        embeddings, counts, pad=pad, round_r_to=R, pad_songs_to=n_pad,
-        trailing_pad=False,
-    )
-    db3 = db2.reshape(n_pad, R, d)
+    if embeddings.size == 0:
+        # empty shard / empty DB: all-zero regions (build_uniform_layout
+        # collapses to a 0-column layout for empty input)
+        db3 = np.zeros((n_pad, R, d), np.float32)
+    else:
+        db2, _ = build_uniform_layout(
+            embeddings, counts, pad=pad, round_r_to=R, pad_songs_to=n_pad,
+            trailing_pad=False,
+        )
+        db3 = db2.reshape(n_pad, R, d)
     # overlap pooling: bin j = rows [jk, jk+2k).  The +1 shifted add
     # crosses region boundaries, which is exact: the next region's
     # first bins pool its leading PAD zeros.

@@ -489,3 +489,21 @@ def test_sharded_screen_topm_exceeds_shard_size():
     )
     assert sdb.flat_to_song(np.asarray(idx)).tolist() == [4]
     assert np.isfinite(np.asarray(val)).all()
+
+
+def test_sharded_screen_more_shards_than_songs():
+    """Empty shards (devices > songs) must build all-zero screen regions
+    instead of crashing, and retrieval still answers from the non-empty
+    shards."""
+    rng = np.random.default_rng(25)
+    db, counts, song_pos = make_db(rng, n_songs=6, min_len=10, max_len=20)
+    mesh = make_mesh("db", 8)
+    sdb = ShardedDatabase(
+        db, counts, mesh, engine="screen", db_dtype=jnp.float32,
+        align_pad=16, screen_k=4, screen_top_m=3,
+    )
+    q = db[song_pos[2] + 1 : song_pos[2] + 7].copy()
+    q += 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+    smax, stime = sdb.query_batch([q])
+    assert np.isfinite(smax).all()
+    assert int(np.argmax(smax[0])) == 2

@@ -3,6 +3,8 @@ must never change the answer — screened top-1 == exhaustive top-1, and
 the surviving songs' (score, offset) are the exact alignment values."""
 
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from pfann_tpu.index.align import AlignmentEngine, queries_to_filters
@@ -170,3 +172,10 @@ def test_database_screen_engine(tmp_path):
     assert sid == song
     assert abs(tsec - off * 0.5) < 1e-6
     assert table.shape == (10, 2)
+
+
+def test_screen_pool_k_must_divide_pad():
+    from pfann_tpu.index.screen import screen_geometry
+
+    with pytest.raises(ValueError, match="screen_pool_k"):
+        screen_geometry(100, 10, 32, 3)
