@@ -58,6 +58,52 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def run_cli_inproc(script: str, argv, capture: bool = False) -> str:
+    """Execute a repo CLI script in-process (runpy, ``__name__ ==
+    "__main__"``) with ``sys.argv`` patched — the same code path as
+    ``python script.py args...`` minus the ~3-6 s interpreter + axon-hook
+    startup every subprocess pays in this sandbox (CLAUDE.md).  Used for
+    the light tool CLIs; the flagship CLIs (builder / matcher / genquery /
+    train / landmark) keep true-subprocess tests for real process-boundary
+    coverage.  PFANN_PLATFORM / PFANN_COMPILE_CACHE are stripped for the
+    duration so an in-process ``apply_platform_override`` can never touch
+    the suite's forced-CPU backend config."""
+    import contextlib
+    import io
+    import runpy
+    import sys
+
+    old_argv = sys.argv
+    saved = {
+        k: os.environ.pop(k, None)
+        for k in ("PFANN_PLATFORM", "PFANN_COMPILE_CACHE")
+    }
+    buf = io.StringIO()
+    sys.argv = [script] + [str(a) for a in argv]
+    try:
+        ctx = (
+            contextlib.redirect_stdout(buf)
+            if capture
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            try:
+                runpy.run_path(script, run_name="__main__")
+            except SystemExit as e:  # argparse --help / explicit exits
+                assert not e.code, "CLI exited with %r" % (e.code,)
+    finally:
+        sys.argv = old_argv
+        for k, v in saved.items():
+            if v is not None:
+                os.environ[k] = v
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def run_cli():
+    return run_cli_inproc
+
+
 @pytest.fixture(scope="session")
 def pipeline_root(tmp_path_factory):
     """Synthetic corpus + noise + micirp wavs + AIR .mat + config."""

@@ -4,8 +4,6 @@ rewritten genquery_naf / denoise CLIs on the shared synthetic corpus."""
 import csv
 import json
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -124,16 +122,16 @@ def _write_cfg(pipeline_root, tmp_path):
     return cfg_path
 
 
-def test_genquery_naf_cli(pipeline_root, tmp_path):
+def test_genquery_naf_cli(pipeline_root, tmp_path, run_cli):
     """NAF-protocol query generation: whole-file queries with
     per-segment shifts; deterministic under the per-query seeds."""
     cfg_path = _write_cfg(pipeline_root, tmp_path)
-    env = dict(os.environ, PFANN_PLATFORM="cpu")
     out = str(tmp_path / "nafq")
-    cmd = [sys.executable, os.path.join(REPO, "genquery_naf.py"),
-           "-p", cfg_path, "-l", "1", "--num", "2", "--mode", "test",
-           "-o", out, "--yes"]
-    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+    run_cli(
+        os.path.join(REPO, "genquery_naf.py"),
+        ["-p", cfg_path, "-l", "1", "--num", "2", "--mode", "test",
+         "-o", out, "--yes"],
+    )
 
     from pfann_tpu.audio.io import get_audio
 
@@ -147,30 +145,29 @@ def test_genquery_naf_cli(pipeline_root, tmp_path):
     assert np.abs(wav).max() <= 1.0
 
     out2 = str(tmp_path / "nafq2")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "genquery_naf.py"),
-         "-p", cfg_path, "-l", "1", "--num", "2", "--mode", "test",
+    run_cli(
+        os.path.join(REPO, "genquery_naf.py"),
+        ["-p", cfg_path, "-l", "1", "--num", "2", "--mode", "test",
          "-o", out2, "--yes"],
-        check=True, env=env, cwd=REPO,
     )
     a, _ = get_audio(paths[0])
     b, _ = get_audio(os.path.join(out2, os.path.basename(paths[0])))
     np.testing.assert_array_equal(a, b)
 
 
-def test_denoise_createdataset_cli(pipeline_root, tmp_path):
+def test_denoise_createdataset_cli(pipeline_root, tmp_path, run_cli):
     """Triplet generation: mix == music + noise up to the joint norm, and
     all three wavs share the peak."""
     cfg_path = _write_cfg(pipeline_root, tmp_path)
-    env = dict(os.environ, PFANN_PLATFORM="cpu")
     out = str(tmp_path / "triplets")
-    cmd = [sys.executable, os.path.join(REPO, "denoise", "createdataset.py"),
-           "-d", pipeline_root["music_dir"],
-           "--noise", pipeline_root["noise"]["dir"],
-           "--air", pipeline_root["air"]["dir"],
-           "--micirp", pipeline_root["micirp"]["dir"],
-           "-p", cfg_path, "-l", "2", "-o", out]
-    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+    run_cli(
+        os.path.join(REPO, "denoise", "createdataset.py"),
+        ["-d", pipeline_root["music_dir"],
+         "--noise", pipeline_root["noise"]["dir"],
+         "--air", pipeline_root["air"]["dir"],
+         "--micirp", pipeline_root["micirp"]["dir"],
+         "-p", cfg_path, "-l", "2", "-o", out],
+    )
 
     from pfann_tpu.audio.io import get_audio
 

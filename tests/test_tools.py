@@ -3,7 +3,6 @@ filterduration, extractscore/svm ensemble round trip."""
 
 import csv
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -36,7 +35,7 @@ def test_stat_aggregation(tmp_path):
     assert abs(totals["compute embedding"] - 0.5) < 1e-9
 
 
-def test_traintestsplit(tmp_path):
+def test_traintestsplit(tmp_path, run_cli):
     src = tmp_path / "all.csv"
     with open(src, "w", newline="") as f:
         w = csv.writer(f)
@@ -44,11 +43,10 @@ def test_traintestsplit(tmp_path):
         w.writerows([["s%02d.wav" % i] for i in range(20)])
     out_train = tmp_path / "train.csv"
     out_test = tmp_path / "test.csv"
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "traintestsplit.py"),
-         "--csv", str(src), "--train-size", "12",
+    run_cli(
+        os.path.join(REPO, "tools", "traintestsplit.py"),
+        ["--csv", str(src), "--train-size", "12",
          "--train", str(out_train), "--test", str(out_test)],
-        check=True, cwd=REPO,
     )
     tr = [r[0] for r in list(csv.reader(open(out_train)))[1:]]
     te = [r[0] for r in list(csv.reader(open(out_test)))[1:]]
@@ -56,32 +54,30 @@ def test_traintestsplit(tmp_path):
     assert not set(tr) & set(te)
 
 
-def test_csv2txt_and_filterduration(tmp_path):
+def test_csv2txt_and_filterduration(tmp_path, run_cli):
     src = tmp_path / "list.csv"
     with open(src, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["file", "duration"])
         w.writerows([["a.wav", "10.0"], ["b.wav", "45.0"], ["c.wav", "31.0"]])
     out = tmp_path / "filtered.csv"
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "filterduration.py"),
-         "--csv", str(src), "--min-len", "29.9", "--out", str(out)],
-        check=True, cwd=REPO,
+    run_cli(
+        os.path.join(REPO, "tools", "filterduration.py"),
+        ["--csv", str(src), "--min-len", "29.9", "--out", str(out)],
     )
     rows = list(csv.reader(open(out)))[1:]
     assert [r[0] for r in rows] == ["b.wav", "c.wav"]
 
     txt = tmp_path / "list.txt"
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "csv2txt.py"),
-         str(src), "--dir", str(tmp_path), "--out", str(txt)],
-        check=True, cwd=REPO,
+    run_cli(
+        os.path.join(REPO, "tools", "csv2txt.py"),
+        [str(src), "--dir", str(tmp_path), "--out", str(txt)],
     )
     lines = open(txt).read().splitlines()
     assert len(lines) == 3 and lines[0].endswith("a.wav") and os.path.isabs(lines[0])
 
 
-def test_mirexacc(tmp_path):
+def test_mirexacc(tmp_path, run_cli):
     gt = tmp_path / "gt.txt"
     gt.write_text("q1.wav\tsongA\nq2.wav\tsongB\nq3.wav\tsongC\n")
     pred = tmp_path / "pred_detail.csv"
@@ -93,16 +89,15 @@ def test_mirexacc(tmp_path):
             ["q2.wav", "songX", "0.2", "0"],
             ["q3.wav", "songC", "0.8", "0"],
         ])
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "mirexacc.py"),
-         str(gt), str(pred)],
-        check=True, cwd=REPO, capture_output=True, text=True,
+    out = run_cli(
+        os.path.join(REPO, "tools", "mirexacc.py"),
+        [str(gt), str(pred)], capture=True,
     )
-    assert "song correct 2 acc 66.67" in r.stdout
-    assert "threshold" in r.stdout
+    assert "song correct 2 acc 66.67" in out
+    assert "threshold" in out
 
 
-def test_ensemble_roundtrip(tmp_path):
+def test_ensemble_roundtrip(tmp_path, run_cli):
     """extractscore -> svmtrain (tiny grid) -> svmval flows end to end."""
     n_songs, n_q = 4, 12
     songlist = tmp_path / "songList.txt"
@@ -134,10 +129,9 @@ def test_ensemble_roundtrip(tmp_path):
         ("extractscore.py", pred_nn, "nn.npy"),
         ("lmscore.py", pred_lm, "lm.npy"),
     ):
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "ensemble", script),
-             str(songlist), str(gt), str(pred), str(tmp_path / out)],
-            check=True, cwd=REPO,
+        run_cli(
+            os.path.join(REPO, "ensemble", script),
+            [str(songlist), str(gt), str(pred), str(tmp_path / out)],
         )
     nn = np.load(tmp_path / "nn.npy")
     lm = np.load(tmp_path / "lm.npy")
