@@ -29,7 +29,8 @@ from pfann_tpu.utils.platform import apply_platform_override
 apply_platform_override()  # PFANN_PLATFORM=cpu dev runs / compile cache
 
 
-def main(sharded: bool = False, scale: int = 0) -> None:
+def main(sharded: bool = False, scale: int = 0,
+         batch_sweep: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -128,7 +129,7 @@ def main(sharded: bool = False, scale: int = 0) -> None:
     ]
     jax.block_until_ready(batches)
 
-    def run(M, trial):
+    def run_arrs(arrs, M, trial):
         # every trial rescales the queries by a distinct, exactly-bf16-
         # representable factor: score argmax/timing-relevant compute are
         # unchanged, but the input BYTES differ per trial, so the relay's
@@ -136,14 +137,16 @@ def main(sharded: bool = False, scale: int = 0) -> None:
         # a repeat trial — min-over-trials stays an honest slope.  The
         # [B,S,d] elementwise scale is HBM-trivial next to the alignment
         # matmul.
-        scale = jnp.bfloat16(1.0 + trial / 64.0)
+        s = jnp.bfloat16(1.0 + trial / 64.0)
         t0 = time.time()
-        outs = [
-            engine.search_top1_device(batches[j] * scale) for j in range(M)
-        ]
+        outs = [engine.search_top1_device(arrs[j] * s) for j in range(M)]
         for o in outs:
-            np.asarray(o[0][0])  # [B] best-song ids — forces completion
+            for tr in o:  # per max_batch chunk
+                np.asarray(tr[0])  # [B] best-song ids — forces completion
         return time.time() - t0
+
+    def run(M, trial):
+        return run_arrs(batches, M, trial)
 
     # the sandbox TPU is a shared tunnel with heavy run-to-run contention
     # (identical code measures 2-5x apart); take the best of several
@@ -170,6 +173,39 @@ def main(sharded: bool = False, scale: int = 0) -> None:
         "unit": "10s-queries/s/chip",
         "vs_baseline": round(qps / 5000.0, 3),
     }
+    if batch_sweep:
+        # per-dispatch batch-size scaling curve (VERDICT r2 next #7: the
+        # DESIGN.md prose curve as a driver-diffable artifact).  Each
+        # dispatch of bs rows is chunked internally into bs/B kernel
+        # calls; larger dispatches amortize per-call host/dispatch
+        # overhead.  Distinct device-side concatenations keep every
+        # input unique for the relay's execution cache.
+        trial_at = [12]  # continue past the headline's trial ids
+
+        def next_trial():
+            trial_at[0] += 1
+            return trial_at[0]
+
+        curve = []
+        for bs in (128, 256, 512, 1024):
+            kk = bs // B
+            if kk < 1:
+                continue
+            arrs = [
+                jnp.concatenate(
+                    [batches[(i * kk + j) % len(batches)]
+                     for j in range(kk)]
+                )
+                for i in range(8)
+            ]
+            jax.block_until_ready(arrs)
+            lo = min(run_arrs(arrs, 2, next_trial()) for _ in range(3))
+            hi = min(run_arrs(arrs, 8, next_trial()) for _ in range(3))
+            sl = (hi - lo) / 6
+            if sl <= 0:
+                sl = hi / 8
+            curve.append({"batch": bs, "qps": round(bs / sl, 1)})
+        result["batch_curve"] = curve
     if sharded:
         result["mode"] = "sharded-1shard"
     if scale:
@@ -329,4 +365,8 @@ if __name__ == "__main__":
             _sys.exit("usage: bench.py --scale <n_songs>[k]  (e.g. --scale 100k)")
         arg = _sys.argv[at + 1]
         _scale = int(arg[:-1]) * 1000 if arg.endswith("k") else int(arg)
-    main(sharded="--sharded" in _sys.argv, scale=_scale)
+    main(
+        sharded="--sharded" in _sys.argv,
+        scale=_scale,
+        batch_sweep="--batch-sweep" in _sys.argv,
+    )
