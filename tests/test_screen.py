@@ -35,7 +35,8 @@ def noisy_queries(rng, emb, counts, song_pos, n, S, noise=0.3):
     return np.stack(queries), want_song, want_off
 
 
-def test_screened_matches_exhaustive_top1():
+@pytest.mark.parametrize("k", [4, 8])
+def test_screened_matches_exhaustive_top1(k):
     """Recall guard (VERDICT r3 task #1 'done' criterion): screened
     top-1 == exhaustive top-1 on noisy queries, with exact score/offset
     agreement for every song the screen lets through.
@@ -44,13 +45,15 @@ def test_screened_matches_exhaustive_top1():
     10 s-query ballpark, and noise heavy enough that the per-window true
     inner product is ~0.6 (the coarse screen's statistical margin is
     ~8 sigma here — see index/screen.py docstring; at far harsher
-    settings the screen, like any prune, can drop the winner)."""
+    settings the screen, like any prune, can drop the winner).
+    k=8 is the coarser sweep point bench.py --scale exercises via
+    BENCH_SCREEN_K."""
     rng = np.random.default_rng(0)
     emb, counts, song_pos = make_db(rng, min_len=16)
     full = AlignmentEngine(emb, counts, pad=16, score_dtype=jnp.float32,
                            impl="xla")
     scr = ScreenedAlignmentEngine(
-        emb, counts, pad=16, k=4, top_m=8, score_dtype=jnp.float32,
+        emb, counts, pad=16, k=k, top_m=8, score_dtype=jnp.float32,
         impl="xla", backend="exact",
     )
     S = 12
