@@ -254,6 +254,13 @@ class Database:
         t = t.reshape(len(queries), fsm, -1)
         shift = np.arange(fsm)[None, :, None]
         t_subhop = t * fsm - shift
+        # The plain argmax is safe even for the screen engine's pruned
+        # (exactly 0.0) entries: the alignment layout always scores
+        # offsets where the query lies entirely inside the PAD zeros
+        # (S <= pad is enforced by _use_align), so every per-song best —
+        # exhaustive or screened survivor — is floored at exactly 0 and a
+        # pruned shift's 0.0 can never outrank a surviving shift's value
+        # (tests/test_screen.py::test_per_song_best_is_zero_floored).
         best_shift = np.argmax(score, axis=1)  # [B, n_songs]
         gi = np.indices(best_shift.shape)
         return (

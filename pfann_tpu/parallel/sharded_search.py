@@ -49,6 +49,29 @@ def partition_songs(counts: np.ndarray, n_shards: int) -> list[list[int]]:
     return [sorted(g) for g in groups]
 
 
+def gather_shard_rows(
+    embeddings: np.ndarray, song_pos: np.ndarray, counts: np.ndarray,
+    ga, d: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ragged gather of one shard's songs' embedding rows:
+    returns (rows [counts[ga].sum(), d], counts[ga]).  Output row i is
+    embeddings[starts_rep[i] + intra-song offset] — no per-song Python
+    slicing, which is minutes of build latency at the 100k-track scale
+    (same idiom as index/align.py build_uniform_layout)."""
+    ga = np.asarray(ga, dtype=np.int64)
+    if not len(ga):
+        return np.zeros((0, d), np.float32), np.zeros(0, np.int64)
+    loc_counts = np.asarray(counts, dtype=np.int64)[ga]
+    starts = song_pos[ga]
+    ends = np.cumsum(loc_counts)
+    idx = (
+        np.repeat(starts, loc_counts)
+        + np.arange(int(ends[-1]), dtype=np.int64)
+        - np.repeat(ends - loc_counts, loc_counts)
+    )
+    return embeddings[idx], loc_counts
+
+
 class ShardedDatabase:
     """Device-mesh resident database.
 
@@ -130,23 +153,9 @@ class ShardedDatabase:
             song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
             counts_np = np.asarray(counts, dtype=np.int64)
             for si, g in enumerate(groups):
-                ga = np.asarray(g, dtype=np.int64)
-                loc_counts = counts_np[ga] if len(g) else np.zeros(0, np.int64)
-                # vectorized ragged gather (no per-song Python slicing —
-                # minutes of build latency at the 100k-track scale):
-                # row i of the output is embeddings[starts_rep[i] + local
-                # offset within its song]
-                if len(g):
-                    starts = song_pos[ga]
-                    ends = np.cumsum(loc_counts)
-                    idx = (
-                        np.repeat(starts, loc_counts)
-                        + np.arange(int(ends[-1]))
-                        - np.repeat(ends - loc_counts, loc_counts)
-                    )
-                    loc_emb = embeddings[idx]
-                else:
-                    loc_emb = np.zeros((0, self.d), np.float32)
+                loc_emb, loc_counts = gather_shard_rows(
+                    embeddings, song_pos, counts_np, g, self.d
+                )
                 db3, coarse, _, self.Rc, _ = build_screen_layout(
                     loc_emb, loc_counts, pad=align_pad, k=screen_k,
                     d=self.d, R=R, n_pad=n_pad,
@@ -184,13 +193,20 @@ class ShardedDatabase:
             song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
             db_sh = np.zeros((n_shards, rows, self.d), dtype=np.float32)
             for si, g in enumerate(groups):
-                for gi, song in enumerate(g):
-                    c = int(counts[song])
-                    at = gi * self.R + align_pad
-                    db_sh[si, at : at + c] = embeddings[
-                        song_pos[song] : song_pos[song] + c
-                    ]
-                    song_map[si, gi] = song
+                loc_emb, loc_counts = gather_shard_rows(
+                    embeddings, song_pos, counts, g, self.d
+                )
+                if len(g):
+                    # vectorized region fill: local row i (song s_i, intra
+                    # offset o_i) lands at s_i*R + align_pad + o_i
+                    song_of = np.repeat(
+                        np.arange(len(g), dtype=np.int64), loc_counts
+                    )
+                    intra = np.arange(
+                        loc_emb.shape[0], dtype=np.int64
+                    ) - np.repeat(np.cumsum(loc_counts) - loc_counts, loc_counts)
+                    db_sh[si, song_of * self.R + align_pad + intra] = loc_emb
+                    song_map[si, : len(g)] = g
             self._db = jax.device_put(
                 jnp.asarray(host_cast(db_sh, db_dtype)), shard
             )
@@ -204,16 +220,13 @@ class ShardedDatabase:
             db_sh = np.zeros((n_shards, rows_max, self.d), dtype=np.float32)
             song_pos_sh = np.zeros((n_shards, songs_max + 1), dtype=np.int32)
             for si, g in enumerate(groups):
-                at = 0
-                for gi, song in enumerate(g):
-                    c = int(counts[song])
-                    db_sh[si, at : at + c] = embeddings[
-                        song_pos[song] : song_pos[song] + c
-                    ]
-                    at += c
-                    song_pos_sh[si, gi + 1] = at
-                    song_map[si, gi] = song
-                song_pos_sh[si, len(g) + 1 :] = at  # padding songs: zero length
+                loc_emb, loc_counts = gather_shard_rows(
+                    embeddings, song_pos, counts, g, self.d
+                )
+                db_sh[si, : loc_emb.shape[0]] = loc_emb
+                song_pos_sh[si, 1 : len(g) + 1] = np.cumsum(loc_counts)
+                song_pos_sh[si, len(g) + 1 :] = loc_emb.shape[0]  # zero-length padding songs
+                song_map[si, : len(g)] = g
             self._db = jax.device_put(
                 jnp.asarray(host_cast(db_sh, db_dtype)), shard
             )

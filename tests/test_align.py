@@ -229,3 +229,26 @@ def test_zero_length_song_in_db(tmp_path):
         assert tim == pytest.approx(0.5)
         # zero-length songs can never score above the empty-window floor
         assert table[1, 0] <= 1e-6 and table[3, 0] <= 1e-6
+
+
+def test_lowered_max_batch_chunking_invariance():
+    """bench.py --batch-sweep lowers engine.max_batch to dispatch
+    genuinely smaller kernel batches; chunk size must not change any
+    result (zero-pad tail chunks score zero rows as zeros)."""
+    rng = np.random.default_rng(9)
+    db, counts, song_pos = make_db(rng, n_songs=9)
+    engine = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32)
+    filters = rng.standard_normal((12, 5, db.shape[1])).astype(np.float32)
+    for i in range(12):
+        song = i % 9
+        filters[i, :4] = db[song_pos[song] : song_pos[song] + 4]
+    sub_lens = np.full(12, 5, np.int32)
+    want_s, want_t = engine.search(filters, sub_lens)
+    orig = engine.max_batch
+    try:
+        engine.max_batch = 4
+        got_s, got_t = engine.search(filters, sub_lens)
+    finally:
+        engine.max_batch = orig
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-6)
+    np.testing.assert_array_equal(got_t, want_t)

@@ -1,6 +1,7 @@
 """Pallas fused alignment+reduce kernel correctness (interpret mode, CPU)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,7 +11,11 @@ import pfann_tpu.index.pallas_align as pa
 from pfann_tpu.index.align import build_uniform_layout
 
 
-def test_pallas_alignment_reduce_interpret(monkeypatch):
+@pytest.mark.parametrize("B", [128, pa.LANE_B])
+def test_pallas_alignment_reduce_interpret(monkeypatch, B):
+    """B=128 is a sub-LANE_B kernel call — the batch size bench.py's
+    --batch-sweep dispatches when it lowers engine.max_batch (the kernel
+    takes B from the input shape; only B % LANE == 0 is required)."""
     orig = pl.pallas_call
 
     def interp(*a, **k):
@@ -20,7 +25,7 @@ def test_pallas_alignment_reduce_interpret(monkeypatch):
     monkeypatch.setattr(pa.pl, "pallas_call", interp)
 
     rng = np.random.default_rng(0)
-    d, S, B, pad = 128, 7, pa.LANE_B, 16
+    d, S, pad = 128, 7, 16
     counts = np.asarray([20, 5, 33, 12, 9])  # 5 songs -> padded to 8 (G=4)
     song_pos = np.pad(np.cumsum(counts), (1, 0))
     emb = rng.standard_normal((int(counts.sum()), d)).astype(np.float32)

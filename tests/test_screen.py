@@ -182,3 +182,46 @@ def test_screen_pool_k_must_divide_pad():
 
     with pytest.raises(ValueError, match="screen_pool_k"):
         screen_geometry(100, 10, 32, 3)
+
+
+def test_per_song_best_is_zero_floored():
+    """Invariant that makes Database._query_align_batch's plain
+    shift-argmax safe next to the screen's pruned-row 0.0 convention:
+    the alignment layout scores offsets where the query sits entirely in
+    the PAD zeros (S <= pad, enforced by _use_align), so the per-song
+    best — exhaustive or screened survivor — can never go below exactly
+    0, even for a query anti-correlated with every song."""
+    rng = np.random.default_rng(5)
+    # near-identical songs (base direction + small per-row jitter) so an
+    # anti-correlated query scores negative at every REAL offset
+    n_songs, d = 48, 32
+    counts = rng.integers(20, 32, n_songs).astype(np.int64)
+    base = rng.standard_normal(d).astype(np.float32)
+    base /= np.linalg.norm(base)
+    emb = base + 0.15 * rng.standard_normal(
+        (int(counts.sum()), d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    S = 8
+    q = np.repeat(-base[None, :], S, axis=0)
+    q += 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    qpad = q[None]  # [1, S, d]
+    sub_lens = np.full(1, S, np.int32)
+
+    full = AlignmentEngine(emb, counts, pad=16, score_dtype=jnp.float32,
+                           impl="xla")
+    fs, _ = full.search(qpad, sub_lens)
+    scr = ScreenedAlignmentEngine(
+        emb, counts, pad=16, k=4, top_m=4, score_dtype=jnp.float32,
+        impl="xla", backend="exact",
+    )
+    ss, _ = scr.search(qpad, sub_lens)
+    # sanity: the anti-correlated query really does score negative at
+    # real offsets (the zero floor comes from the pad offsets, not from
+    # a lack of negative alignments)
+    sums = q @ emb.T  # window-vs-row inner products, all ~negative
+    assert sums.mean() < -0.5
+    # the floor: no per-song best below exactly 0, in either engine
+    assert float(np.asarray(fs).min()) == 0.0
+    assert float(np.asarray(ss).min()) == 0.0
