@@ -175,11 +175,17 @@ def main(sharded: bool = False, scale: int = 0,
     }
     if batch_sweep:
         # per-dispatch batch-size scaling curve (VERDICT r2 next #7: the
-        # DESIGN.md prose curve as a driver-diffable artifact).  Each
-        # dispatch of bs rows is chunked internally into bs/B kernel
-        # calls; larger dispatches amortize per-call host/dispatch
-        # overhead.  Distinct device-side concatenations keep every
-        # input unique for the relay's execution cache.
+        # DESIGN.md prose curve as a driver-diffable artifact).  For
+        # bs < engine.max_batch the engine's chunk size is lowered to bs
+        # so the kernel genuinely compiles/runs at that batch (the
+        # pallas kernel takes B from the input shape, any LANE multiple
+        # — padding bs up to max_batch would measure 1024-row kernels
+        # for every point); for bs > max_batch a dispatch chunks into
+        # bs/max_batch pipelined kernel calls.  Every dispatch input is
+        # made byte-distinct (device-side slice/concat of distinct
+        # staged batches x a per-arr bf16 scale, on top of run_arrs'
+        # per-trial scale) so the relay's input-keyed execution cache
+        # (CLAUDE.md gotcha) can never serve a repeat.
         trial_at = [12]  # continue past the headline's trial ids
 
         def next_trial():
@@ -187,20 +193,29 @@ def main(sharded: bool = False, scale: int = 0,
             return trial_at[0]
 
         curve = []
+        Bst = batches[0].shape[0]
+        orig_mb = engine.max_batch
         for bs in (128, 256, 512, 1024):
-            kk = bs // B
-            if kk < 1:
-                continue
-            arrs = [
-                jnp.concatenate(
-                    [batches[(i * kk + j) % len(batches)]
-                     for j in range(kk)]
-                )
-                for i in range(8)
-            ]
+            if bs <= Bst:
+                base = [batches[i % len(batches)][:bs] for i in range(8)]
+            else:
+                kk = bs // Bst
+                base = [
+                    jnp.concatenate(
+                        [batches[(i * kk + j) % len(batches)]
+                         for j in range(kk)]
+                    )
+                    for i in range(8)
+                ]
+            arrs = [a * jnp.bfloat16(1.0 + (i + 1) / 32.0)
+                    for i, a in enumerate(base)]
             jax.block_until_ready(arrs)
-            lo = min(run_arrs(arrs, 2, next_trial()) for _ in range(3))
-            hi = min(run_arrs(arrs, 8, next_trial()) for _ in range(3))
+            engine.max_batch = min(bs, orig_mb)
+            try:
+                lo = min(run_arrs(arrs, 2, next_trial()) for _ in range(3))
+                hi = min(run_arrs(arrs, 8, next_trial()) for _ in range(3))
+            finally:
+                engine.max_batch = orig_mb
             sl = (hi - lo) / 6
             if sl <= 0:
                 sl = hi / 8
