@@ -59,6 +59,8 @@ def main(sharded: bool = False, scale: int = 0,
             emb, counts, score_dtype=jnp.bfloat16,
             k=int(os.environ.get("BENCH_SCREEN_K", 4)),
             top_m=int(os.environ.get("BENCH_SCREEN_M", 32)),
+            # 'int8' runs stage 1 on the MXU's double-rate int8 path
+            coarse_dtype=os.environ.get("BENCH_SCREEN_DTYPE") or None,
         )
         map_song = np.asarray
     elif sharded:

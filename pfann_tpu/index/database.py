@@ -153,6 +153,7 @@ class Database:
                 db_dtype=np_dtype,
                 screen_k=int(self.params.get("screen_pool_k", 4)),
                 screen_top_m=int(self.params.get("screen_top_m", 32)),
+                screen_coarse_dtype=self.params.get("screen_coarse_dtype"),
                 backend=self.params.get("backend", "auto"),
             )
         elif engine == "align":
@@ -168,6 +169,9 @@ class Database:
                 emb, counts, score_dtype=np_dtype, device=device,
                 k=int(self.params.get("screen_pool_k", 4)),
                 top_m=int(self.params.get("screen_top_m", 32)),
+                # stage-1 dtype: 'int8' doubles MXU rate / halves coarse
+                # HBM reads; survivors are always rescored exactly
+                coarse_dtype=self.params.get("screen_coarse_dtype"),
                 # honor the user's explicit 'exact'/'approx' top-M knob
                 # (same key the topk engine reads above)
                 backend=self.params.get("backend", "auto"),

@@ -46,6 +46,10 @@ def _align_reduce_kernel(S: int, G: int, R: int, B: int, db_ref, q_ref,
                          best_ref, off_ref):
     rows = G * R
     d = db_ref.shape[1]
+    # int8 inputs accumulate in int32 on the MXU's double-rate int8 path
+    # (the screened engine's coarse stage quantizes — stage-1 only ranks,
+    # per-query scales cancel); everything else accumulates in f32.
+    acc_dt = jnp.int32 if db_ref.dtype == jnp.int8 else jnp.float32
     x = jnp.concatenate(
         [db_ref[:], jnp.zeros((HALO, d), db_ref.dtype)], axis=0
     )  # [rows + HALO, d]
@@ -57,20 +61,23 @@ def _align_reduce_kernel(S: int, G: int, R: int, B: int, db_ref, q_ref,
         # pipeline: 243 ms vs 37 ms per 128-query batch at G=8 on v5e).
         acc = jnp.dot(
             x[0:rows], q_ref[:, lg * LANE : lg * LANE + LANE],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dt,
         )
         for i in range(1, S):
             col = i * B + lg * LANE
             acc = acc + jnp.dot(
                 x[i : rows + i], q_ref[:, col : col + LANE],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_dt,
             )
         a3 = acc.reshape(G, R, LANE)
         best = jnp.max(a3, axis=1)                               # [G, LANE]
         offs = jax.lax.broadcasted_iota(jnp.int32, a3.shape, 1)
         argoffs.append(jnp.max(jnp.where(a3 >= best[:, None, :], offs, -1), axis=1))
         bests.append(best)
-    best_ref[:] = jnp.concatenate(bests, axis=1)
+    # int32 scores fit f32 exactly up to 2^24 (S*127*127*d caps well
+    # below for the coarse stage's shapes); the f32 output block is the
+    # common currency of both dtypes
+    best_ref[:] = jnp.concatenate(bests, axis=1).astype(jnp.float32)
     off_ref[:] = jnp.concatenate(argoffs, axis=1)
 
 

@@ -57,6 +57,54 @@ import numpy as np
 from pfann_tpu.index.align import DEFAULT_PAD, alignment_core
 
 
+def coarse_dtype_of(name, default):
+    """Normalize a coarse-stage dtype knob ('int8' | 'bf16' | 'f32' |
+    None | a jnp dtype) to a jnp dtype.  int8 runs the coarse matmul on
+    the MXU's double-rate int8 path — safe for stage 1 because it only
+    RANKS songs per query (per-query quantization scales cancel) and the
+    quantization noise (~1e-2 per window dot) is far inside the screen's
+    ~8-sigma margin; stage 2 always rescores survivors exactly."""
+    if name is None:
+        return default
+    if isinstance(name, str):
+        table = {
+            "int8": jnp.int8,
+            "bf16": jnp.bfloat16,
+            "bfloat16": jnp.bfloat16,
+            "f32": jnp.float32,
+            "float32": jnp.float32,
+        }
+        if name not in table:
+            raise ValueError("unknown coarse dtype %r" % (name,))
+        return table[name]
+    return name
+
+
+def quantize_coarse_int8(coarse: np.ndarray) -> np.ndarray:
+    """Host-side symmetric int8 quantization of the pooled coarse copy
+    (one global scale — the scale never matters downstream: stage 1 only
+    compares scores within a query).  In-place-ish: mutates its input
+    (always a fresh build_screen_layout output) to avoid multi-GB
+    temporaries at the 100k-track scale."""
+    amax = float(np.abs(coarse).max()) if coarse.size else 0.0
+    s = 127.0 / (amax or 1.0)
+    np.multiply(coarse, s, out=coarse)
+    np.rint(coarse, out=coarse)
+    np.clip(coarse, -127, 127, out=coarse)
+    return coarse.astype(np.int8)
+
+
+def quantize_queries_int8(qc: jnp.ndarray) -> jnp.ndarray:
+    """Device-side per-query symmetric int8 quantization of the collapsed
+    query filters [B, Sc, d].  Per-QUERY scales are exact for stage 1:
+    the top-M selection is a per-query argsort over songs, invariant to a
+    positive per-query factor."""
+    qc = qc.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(qc), axis=(1, 2), keepdims=True)
+    s = 127.0 / jnp.maximum(amax, 1e-30)
+    return jnp.round(qc * s).astype(jnp.int8)
+
+
 def screen_geometry(lmax: int, n_songs: int, pad: int, k: int):
     """(R, n_pad) for a screened layout: R a multiple of 8k so the
     pooled region length Rc = R/k satisfies the kernel's sublane-multiple
@@ -154,9 +202,16 @@ def screen_core(
     # sharing i//k) — full signal, 1/k the filter rows.
     qc = jnp.pad(qpad, ((0, 0), (0, Sc * k - S), (0, 0)))
     qc = qc.reshape(qpad.shape[0], Sc, k, -1).sum(axis=2)
+    if coarse.dtype == jnp.int8:
+        # int8 coarse path: quantize the collapsed filters per query and
+        # rank on raw int32 accumulations (scales cancel within a query)
+        qc = quantize_queries_int8(qc)
+        sc_dt = jnp.int32
+    else:
+        sc_dt = dt
     best_c, _ = alignment_core(
         coarse, qc, R=Rc, S=Sc, n_songs=n_pad,
-        score_dtype=dt, impl=impl, interpret=interpret,
+        score_dtype=sc_dt, impl=impl, interpret=interpret,
     )
     best_c = jnp.where(song_valid[None, :], best_c, -jnp.inf)
     if backend == "approx":
@@ -202,6 +257,11 @@ class ScreenedAlignmentEngine:
     top_m : int      songs surviving the screen, per query
     backend : str    'exact' | 'approx' | 'auto' — top-M selection op
                      (lax.top_k vs the TPU-optimized approx_max_k)
+    coarse_dtype :   stage-1 matmul dtype ('int8' | 'bf16' | 'f32' |
+                     None = score_dtype).  int8 halves coarse HBM
+                     traffic and runs the MXU's double-rate int8 path;
+                     stage 2 always rescores survivors exactly, so only
+                     the top-M *cut* sees the quantization noise.
     """
 
     def __init__(
@@ -212,6 +272,7 @@ class ScreenedAlignmentEngine:
         k: int = 4,
         top_m: int = 32,
         score_dtype=jnp.bfloat16,
+        coarse_dtype=None,
         device=None,
         impl: str = "auto",
         backend: str = "auto",
@@ -242,12 +303,15 @@ class ScreenedAlignmentEngine:
         self.n_pad = n_pad
         from pfann_tpu.utils.fastcast import host_cast
 
+        self.coarse_dtype = coarse_dtype_of(coarse_dtype, score_dtype)
         self._db3 = jax.device_put(
             jnp.asarray(host_cast(db3, score_dtype)), device
         )
-        self._coarse = jax.device_put(
-            jnp.asarray(host_cast(coarse, score_dtype)), device
-        )
+        if self.coarse_dtype == jnp.int8:
+            coarse = quantize_coarse_int8(coarse)
+        else:
+            coarse = host_cast(coarse, self.coarse_dtype)
+        self._coarse = jax.device_put(jnp.asarray(coarse), device)
         self._song_valid = jax.device_put(
             jnp.asarray(np.arange(n_pad) < self.n_songs), device
         )

@@ -100,6 +100,7 @@ class ShardedDatabase:
         interpret: bool = False,
         screen_k: int = 4,
         screen_top_m: int = 32,
+        screen_coarse_dtype=None,
     ):
         self.mesh = mesh
         self.axis = axis
@@ -139,6 +140,8 @@ class ShardedDatabase:
             # R/n_pad across shards -> one compiled program per chip.
             from pfann_tpu.index.screen import (
                 build_screen_layout,
+                coarse_dtype_of,
+                quantize_coarse_int8,
                 screen_geometry,
             )
 
@@ -169,7 +172,19 @@ class ShardedDatabase:
                 jnp.asarray(host_cast(np.stack(a), db_dtype)), shard
             )
             self._db = shard_cast(db3_sh)
-            self._coarse = shard_cast(coarse_sh)
+            cdt = coarse_dtype_of(screen_coarse_dtype, db_dtype)
+            if cdt == jnp.int8:
+                # one GLOBAL scale across shards (scale is irrelevant
+                # anyway: the screen ranks within a (query, shard) pair
+                # and the cross-shard merge uses exact stage-2 scores)
+                self._coarse = jax.device_put(
+                    jnp.asarray(quantize_coarse_int8(np.stack(coarse_sh))),
+                    shard,
+                )
+            else:
+                self._coarse = jax.device_put(
+                    jnp.asarray(host_cast(np.stack(coarse_sh), cdt)), shard
+                )
             self._song_valid = jax.device_put(
                 jnp.asarray(np.stack(valid_sh)), shard
             )

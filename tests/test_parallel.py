@@ -371,11 +371,13 @@ def test_database_sharded_fsm2(tmp_path):
     np.testing.assert_allclose(bs, b1, rtol=1e-4)
 
 
-def test_sharded_screen_matches_exhaustive():
+@pytest.mark.parametrize("coarse_dtype", [None, "int8"])
+def test_sharded_screen_matches_exhaustive(coarse_dtype):
     """Sharded screened retrieval (per-shard coarse prune + exact local
     rescore): the winner and its exact (score, time) must match the
     single-device EXHAUSTIVE engine — stage 2 is the same alignment sum,
-    and the union of per-shard top-M is a superset of the global top-M."""
+    and the union of per-shard top-M is a superset of the global top-M.
+    int8 exercises the sharded build's global-scale quantization branch."""
     from pfann_tpu.index.align import AlignmentEngine
 
     rng = np.random.default_rng(21)
@@ -384,7 +386,10 @@ def test_sharded_screen_matches_exhaustive():
     sdb = ShardedDatabase(
         db, counts, mesh, engine="screen", db_dtype=jnp.float32,
         align_pad=16, screen_k=4, screen_top_m=5,
+        screen_coarse_dtype=coarse_dtype,
     )
+    if coarse_dtype == "int8":
+        assert sdb._coarse.dtype == jnp.int8
     single = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32,
                              impl="xla")
     for song in (0, 9, 23):

@@ -35,8 +35,9 @@ def noisy_queries(rng, emb, counts, song_pos, n, S, noise=0.3):
     return np.stack(queries), want_song, want_off
 
 
-@pytest.mark.parametrize("k", [4, 8])
-def test_screened_matches_exhaustive_top1(k):
+@pytest.mark.parametrize("k,coarse_dtype", [(4, None), (8, None),
+                                            (4, "int8")])
+def test_screened_matches_exhaustive_top1(k, coarse_dtype):
     """Recall guard (VERDICT r3 task #1 'done' criterion): screened
     top-1 == exhaustive top-1 on noisy queries, with exact score/offset
     agreement for every song the screen lets through.
@@ -54,8 +55,10 @@ def test_screened_matches_exhaustive_top1(k):
                            impl="xla")
     scr = ScreenedAlignmentEngine(
         emb, counts, pad=16, k=k, top_m=8, score_dtype=jnp.float32,
-        impl="xla", backend="exact",
+        coarse_dtype=coarse_dtype, impl="xla", backend="exact",
     )
+    if coarse_dtype == "int8":
+        assert scr._coarse.dtype == jnp.int8
     S = 12
     filters, want_song, want_off = noisy_queries(
         rng, emb, counts, song_pos, n=24, S=S, noise=0.12
@@ -115,14 +118,17 @@ def test_screened_small_topm_degrades_to_full():
     np.testing.assert_array_equal(st, ft)
 
 
-def test_screened_coarse_pallas_interpret_parity():
+@pytest.mark.parametrize("coarse_dtype", [None, "int8"])
+def test_screened_coarse_pallas_interpret_parity(coarse_dtype):
     """The TPU coarse stage (pallas kernel over the pooled layout) picks
-    the same survivors as the XLA coarse stage — interpret mode, tiny DB."""
+    the same survivors as the XLA coarse stage — interpret mode, tiny DB.
+    int8 runs the kernel's int32-accumulate path (pallas_align.py:52)
+    against the XLA int32 matmul."""
     rng = np.random.default_rng(3)
     emb, counts, song_pos = make_db(rng, n_songs=16, min_len=10,
                                     max_len=24, d=32)
     kw = dict(pad=16, k=4, top_m=4, score_dtype=jnp.float32,
-              backend="exact")
+              coarse_dtype=coarse_dtype, backend="exact")
     xla = ScreenedAlignmentEngine(emb, counts, impl="xla", **kw)
     pls = ScreenedAlignmentEngine(emb, counts, impl="pallas",
                                   interpret=True, **kw)
@@ -175,6 +181,33 @@ def test_database_screen_engine(tmp_path):
     assert sid == song
     assert abs(tsec - off * 0.5) < 1e-6
     assert table.shape == (10, 2)
+
+
+def test_int8_quantizers():
+    """Stage-1 int8 quantization invariants: db-side symmetric range,
+    zero rows stay exactly zero (the layout's leading-pad invariant
+    survives quantization), and the per-query filter quantization is
+    invariant to a positive per-query scale — the property that makes
+    int8 ranking exact up to rounding noise."""
+    from pfann_tpu.index.screen import (
+        quantize_coarse_int8,
+        quantize_queries_int8,
+    )
+
+    rng = np.random.default_rng(6)
+    c = rng.standard_normal((64, 32)).astype(np.float32)
+    c[:8] = 0.0  # leading pad rows
+    q8 = quantize_coarse_int8(c.copy())
+    assert q8.dtype == np.int8
+    assert int(np.abs(q8).max()) == 127
+    assert (q8[:8] == 0).all()
+    assert q8[8:].any()
+
+    q = rng.standard_normal((4, 6, 32)).astype(np.float32)
+    a = np.asarray(quantize_queries_int8(jnp.asarray(q)))
+    b = np.asarray(quantize_queries_int8(jnp.asarray(q * 37.5)))
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.int8
 
 
 def test_screen_pool_k_must_divide_pad():
