@@ -94,7 +94,13 @@ def match_list(
                 for i, part in zip(wav_idx, np.split(packed, lens[:-1])):
                     embs[i] = part
                 logger.info("compute embedding %.6fs", time.time() - tm)
+            # the retrieval program fuses the reference's search + rerank
+            # phases (database.py:165 logged them separately); the honest
+            # phase split here is embed (above) vs search (the fused
+            # device query) — tools/stat.py aggregates both
+            tm = time.time()
             results = db.query_embeddings_batch(embs)
+            logger.info("search %.6fs", time.time() - tm)
             for (name, _), (sco, (ans_id, tim), song_score) in zip(pending, results):
                 ans = db.songList[ans_id] if ans_id >= 0 else "error"
                 fout.write("%s\t%s\n" % (name, ans))
@@ -129,9 +135,7 @@ def match_list(
             else:
                 pending.append((name, ("wav", wav)))
             if len(pending) >= batch:
-                tm_1 = time.time()
                 flush()
-                logger.info("search %.6fs rerank 0.000000s", time.time() - tm_1)
         flush()
     logger.info("total query time %.6fs", time.time() - tm_0)
 

@@ -31,9 +31,19 @@ queries this is cheap (~6 GFLOP per 10 s query against a 10k-track DB).
 The streaming cost is the [N, S*B] bf16 score tensor.
 
 The ``score_alpha > 0`` scoring variant (exp(-alpha (1-ip)^2),
-seqscore.cpp:103-110) is nonlinear in the inner product and cannot use
-the convolution trick — Database falls back to the top-k + rerank engine
-for it.  Same for queries longer than PAD windows.
+seqscore.cpp:103-110) is nonlinear in the inner product but still rides
+this engine: the transform is applied elementwise to each per-window
+score slice BEFORE the diagonal sum (the XLA path materializes exactly
+those slices).  Two masks make it exact: out-of-song windows must
+contribute 0 (not exp(-alpha)) — the reference's out-of-range convention
+(seqscore.cpp:96-101) that the alpha=0 path gets for free from the zero
+padding — so a per-row validity vector and a per-query window-count mask
+zero them explicitly.  alpha forces the XLA impl (the Pallas kernel
+accumulates window dots without materializing them).  Queries longer
+than PAD windows still fall back to the top-k + rerank engine — unless
+the engine was built with a larger ``pad`` (``align_pad`` in the indexer
+params), which is the supported way to serve e.g. 60 s MIREX queries on
+the fast path.
 """
 
 from __future__ import annotations
@@ -96,6 +106,9 @@ def alignment_core(
     score_dtype=jnp.bfloat16,
     impl: str = "xla",
     interpret: bool = False,
+    score_alpha: float = 0.0,
+    row_valid: jnp.ndarray | None = None,
+    q_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """db [>= n_songs*R + pad, d]; queries [B, S, d].
 
@@ -103,6 +116,14 @@ def alignment_core(
     song_argoff [B, n_songs] int32 — best window offset within the region,
     i.e. t + pad).  Pure function (also used inside shard_map — see
     pfann_tpu/parallel/sharded_search.py).
+
+    score_alpha > 0 switches the per-window contribution from the raw
+    inner product to exp(-alpha (1 - ip)^2) ("query adaptive similarity",
+    seqscore.cpp:103-110), applied to each diagonal slice before the sum.
+    It requires row_valid [N] (1.0 on real song rows, 0.0 on layout
+    padding) and accepts q_valid [S, B] (1.0 where window row i belongs
+    to query b) so masked positions contribute 0 — the reference's
+    out-of-range convention — instead of exp(-alpha).  XLA impl only.
     """
     N, d = db.shape
     B = queries.shape[0]
@@ -112,6 +133,10 @@ def alignment_core(
     if impl == "pallas":
         from pfann_tpu.index.pallas_align import PALLAS_G, pallas_alignment_reduce
 
+        if score_alpha != 0.0:
+            raise NotImplementedError(
+                "score_alpha requires the XLA alignment impl"
+            )
         best, argoff = pallas_alignment_reduce(
             db, qsT.astype(db.dtype), S=S, R=R, G=PALLAS_G, interpret=interpret
         )
@@ -126,17 +151,49 @@ def alignment_core(
     ).reshape(N, S, B)
 
     N0 = n_songs * R
-    align = scores[0:N0, 0, :].astype(jnp.float32)
+
+    def slice_contrib(i):
+        sl = scores[i : N0 + i, i, :].astype(jnp.float32)
+        if score_alpha == 0.0:
+            return sl
+        l2 = 1.0 - sl
+        c = jnp.exp(-score_alpha * l2 * l2)
+        if row_valid is not None:
+            c = c * row_valid[i : N0 + i][:, None]
+        if q_valid is not None:
+            c = c * q_valid[i][None, :]
+        return c
+
+    align = slice_contrib(0)
     for i in range(1, S):
-        align = align + scores[i : N0 + i, i, :].astype(jnp.float32)
+        align = align + slice_contrib(i)
 
     return _reduce_per_song(align, n_songs, R, B)
 
 
 _alignment_search_uniform = functools.partial(
     jax.jit,
-    static_argnames=("R", "S", "n_songs", "score_dtype", "impl", "interpret"),
+    static_argnames=(
+        "R", "S", "n_songs", "score_dtype", "impl", "interpret", "score_alpha"
+    ),
 )(alignment_core)
+
+
+def build_row_valid(
+    counts: np.ndarray, R: int, pad: int, total: int
+) -> np.ndarray:
+    """f32 [total] marker of real song rows in a uniform layout (1.0 on
+    rows holding embeddings, 0.0 on pad/slack) — the out-of-range mask
+    the alpha scoring path multiplies into each window contribution."""
+    rv = np.zeros(total, dtype=np.float32)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(counts) and counts.sum():
+        song_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        intra = np.arange(counts.sum(), dtype=np.int64) - np.pad(
+            np.cumsum(counts), (1, 0)
+        )[song_of]
+        rv[song_of * R + pad + intra] = 1.0
+    return rv
 
 
 def _reduce_per_song(align: jnp.ndarray, n_songs: int, R: int, B: int):
@@ -171,10 +228,17 @@ class AlignmentEngine:
         device=None,
         max_batch_rows: int = 16,
         impl: str = "auto",
+        score_alpha: float = 0.0,
     ):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if score_alpha != 0.0 and impl == "pallas":
+            # the fused kernel accumulates window dots without ever
+            # materializing them; the alpha transform needs the per-window
+            # slices, so alpha rides the XLA impl (see module docstring)
+            impl = "xla"
         self.impl = impl
+        self.score_alpha = float(score_alpha)
         if impl == "pallas":
             from pfann_tpu.index.pallas_align import LANE_B, PALLAS_G
 
@@ -197,24 +261,46 @@ class AlignmentEngine:
         self._db = jax.device_put(
             jnp.asarray(host_cast(db, score_dtype)), device
         )
+        self._row_valid = None
+        if self.score_alpha != 0.0:
+            self._row_valid = jax.device_put(
+                jnp.asarray(build_row_valid(counts, R, pad, db.shape[0])),
+                device,
+            )
 
     def max_query_windows(self) -> int:
         return self.pad  # longer filters could cross into the next region
 
-    def search_device(self, filters: np.ndarray) -> list:
+    def search_device(self, filters: np.ndarray, sub_lens=None) -> list:
         """Dispatch alignment over max_batch-row chunks WITHOUT pulling
         results to the host — returns a list of (best, argoff) device
         array pairs.  Lets callers pipeline many batches (the sandbox TPU
-        tunnel has a large fixed host-sync cost per call)."""
+        tunnel has a large fixed host-sync cost per call).
+
+        sub_lens [B] (optional): true window counts per query — only
+        consulted by the alpha scoring path, where a zero filter row must
+        contribute 0 rather than exp(-alpha); omitted means every row is
+        a real window."""
         B, S, _ = filters.shape
         outs = []
         for i in range(0, B, self.max_batch):
             chunk = filters[i : i + self.max_batch]
-            if chunk.shape[0] < self.max_batch:
+            n = chunk.shape[0]
+            if n < self.max_batch:
                 chunk = np.concatenate(
                     [chunk,
-                     np.zeros((self.max_batch - chunk.shape[0], S, self.d),
+                     np.zeros((self.max_batch - n, S, self.d),
                               np.float32)]
+                )
+            q_valid = None
+            if self.score_alpha != 0.0:
+                if sub_lens is None:
+                    lens = np.full(n, S, np.int32)
+                else:
+                    lens = np.asarray(sub_lens[i : i + n])
+                lens = np.pad(lens, (0, self.max_batch - n))
+                q_valid = jnp.asarray(
+                    (np.arange(S)[:, None] < lens[None, :]).astype(np.float32)
                 )
             outs.append(
                 _alignment_search_uniform(
@@ -225,6 +311,9 @@ class AlignmentEngine:
                     n_songs=self.n_songs,
                     score_dtype=self.score_dtype,
                     impl=self.impl,
+                    score_alpha=self.score_alpha,
+                    row_valid=self._row_valid,
+                    q_valid=q_valid,
                 )
             )
         return outs
@@ -246,7 +335,7 @@ class AlignmentEngine:
         (song_score [B, n_songs] — mean alignment, song_t [B, n_songs] —
         offset in DB-hop units relative to song start)."""
         B = filters.shape[0]
-        outs = self.search_device(filters)
+        outs = self.search_device(filters, sub_lens)
         outs_best = [np.asarray(b) for b, _ in outs]
         outs_off = [np.asarray(o) for _, o in outs]
         song_best = np.concatenate(outs_best)[:B]

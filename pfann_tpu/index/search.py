@@ -151,7 +151,10 @@ def seq_rerank(
     # song_start + t + j, query row j*fsm + s.
     j = jax.lax.broadcasted_iota(jnp.int32, (flat_lab.shape[0], sub_len), 1)
     qrow = j * fsm + cand_shift[:, None]                     # [C, J]
-    in_query = qrow < S
+    # padded query rows (valid_rows False) must contribute 0 — for
+    # alpha=0 their zero filters do so for free, but the alpha transform
+    # maps ip=0 to exp(-alpha), so mask them explicitly
+    in_query = (qrow < S) & valid_rows[jnp.clip(qrow, 0, S - 1)]
     in_song = (cand_t[:, None] + j >= 0) & (cand_t[:, None] + j < song_len[:, None])
     w_ok = in_query & in_song
     db_idx = jnp.clip(song_start[:, None] + cand_t[:, None] + j, 0, db.shape[0] - 1)

@@ -252,3 +252,141 @@ def test_lowered_max_batch_chunking_invariance():
         engine.max_batch = orig
     np.testing.assert_allclose(got_s, want_s, rtol=1e-6)
     np.testing.assert_array_equal(got_t, want_t)
+
+
+def naive_alpha_alignment(db, song_pos, subquery, sub_len, alpha):
+    """Reference alpha scoring (seqscore.cpp:103-110): per-window
+    contribution exp(-alpha (1 - ip)^2), out-of-range windows contribute
+    0 (seqscore.cpp:96-101), mean over my_len = sub_len."""
+    n_songs = len(song_pos) - 1
+    S = sub_len
+    best = np.full(n_songs, -np.inf)
+    best_t = np.zeros(n_songs)
+    for song in range(n_songs):
+        start, length = song_pos[song], song_pos[song + 1] - song_pos[song]
+        for t in range(-(S - 1), length):
+            sco = 0.0
+            for i in range(S):
+                if 0 <= t + i < length:
+                    ip = float(db[start + t + i] @ subquery[i])
+                    sco += float(np.exp(-alpha * (1.0 - ip) ** 2))
+            sco /= S
+            if sco > best[song]:
+                best[song] = sco
+                best_t[song] = t
+    return best, best_t
+
+
+@pytest.mark.parametrize("fsm", [1, 2])
+def test_alpha_matches_naive(fsm):
+    """score_alpha on the align engine: elementwise transform before the
+    diagonal sum, with out-of-song windows and padded query rows masked
+    to 0, matches the reference alpha semantics at every (song, offset)."""
+    rng = np.random.default_rng(11)
+    db, counts, song_pos = make_db(rng)
+    alpha = 2.0
+    engine = AlignmentEngine(
+        db, counts, pad=16, score_dtype=jnp.float32, score_alpha=alpha
+    )
+    assert engine.impl == "xla"
+    qlen = 5 * fsm + 1  # ragged on purpose: shifts get unequal sub_lens
+    query = db[song_pos[3] + 2 : song_pos[3] + 2 + qlen].copy()
+    query += 0.05 * rng.standard_normal(query.shape).astype(np.float32)
+
+    filters, sub_lens, _ = queries_to_filters(
+        query, fsm, engine.max_query_windows()
+    )
+    score, t = engine.search(filters, sub_lens)
+
+    for shift in range(fsm):
+        ref_best, ref_t = naive_alpha_alignment(
+            db, song_pos, query[shift::fsm], int(sub_lens[shift]), alpha
+        )
+        np.testing.assert_allclose(
+            score[shift], np.maximum(ref_best, 0.0), rtol=1e-4, atol=1e-5
+        )
+        pos = ref_best > 1e-6
+        np.testing.assert_allclose(t[shift][pos], ref_t[pos], atol=0)
+
+
+def test_alpha_database_align_vs_topk(tmp_path):
+    """Database-level alpha: the align engine no longer falls back to
+    topk for score_alpha != 0 (VERDICT r3 next #4) and agrees with the
+    topk engine on the answer; exhaustive scores >= candidate-restricted
+    ones."""
+    rng = np.random.default_rng(12)
+    db, counts, song_pos = make_db(rng, n_songs=10, min_len=10, d=8)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(10)))
+    write_index_meta(dbdir, d=8)
+
+    query = db[song_pos[6] + 1 : song_pos[6] + 8] + 0.1 * rng.standard_normal(
+        (7, 8)
+    ).astype(np.float32)
+    query /= np.linalg.norm(query, axis=1, keepdims=True)
+
+    common = {"top_k": 8, "backend": "exact", "db_dtype": "float32",
+              "score_alpha": 1.5}
+    d_align = Database(dbdir, dict(common, engine="align"), hop_size=0.5)
+    d_topk = Database(dbdir, dict(common, engine="topk"), hop_size=0.5)
+    assert d_align.engine == "align"  # not silently demoted to topk
+    ba, (sa, ta), tab_a = d_align.query_embeddings(query)
+    bt, (st, tt), tab_t = d_topk.query_embeddings(query)
+    assert sa == st == 6
+    assert ta == pytest.approx(tt)
+    # the true alignment was in the candidate set -> same best score
+    np.testing.assert_allclose(ba, bt, rtol=1e-4)
+    has = tab_t[:, 0] > 0
+    assert (tab_a[has, 0] >= tab_t[has, 0] - 1e-5).all()
+
+
+def test_align_pad_serves_long_queries(tmp_path):
+    """indexer align_pad keeps queries longer than the default 32-window
+    layout pad on the fast engine (the 60 s MIREX shape); without it the
+    Database logs the fallback and serves via topk."""
+    import logging
+    import multiprocessing as mp
+
+    rng = np.random.default_rng(13)
+    db, counts, song_pos = make_db(rng, n_songs=6, min_len=52, max_len=60, d=8)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(6)))
+    write_index_meta(dbdir, d=8)
+
+    qlen = 48  # > DEFAULT_PAD=32 windows
+    query = db[song_pos[2] + 1 : song_pos[2] + 1 + qlen].copy()
+    query += 0.05 * rng.standard_normal(query.shape).astype(np.float32)
+    query /= np.linalg.norm(query, axis=1, keepdims=True)
+
+    base = {"top_k": 6, "backend": "exact", "db_dtype": "float32",
+            "engine": "align"}
+    wide = Database(dbdir, dict(base, align_pad=64), hop_size=0.5)
+    assert wide._use_align(qlen)
+    bw, (sw, tw), _ = wide.query_embeddings(query)
+    assert (sw, tw) == (2, 0.5)
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    narrow = Database(dbdir, dict(base), hop_size=0.5)
+    handler = Capture()
+    mp.get_logger().addHandler(handler)
+    try:
+        assert not narrow._use_align(qlen)  # falls back...
+        bn, (sn, tn), _ = narrow.query_embeddings(query)
+    finally:
+        mp.get_logger().removeHandler(handler)
+    assert (sn, tn) == (2, 0.5)  # ...but still answers correctly
+    assert any("topk fallback" in r.getMessage() for r in records)
+    np.testing.assert_allclose(bw, bn, rtol=1e-4)
