@@ -20,6 +20,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -52,8 +53,6 @@ def main(sharded: bool = False, scale: int = 0,
         # (docs/DESIGN.md); the screen's k^2 work reduction is what buys
         # the >=5k target.
         from pfann_tpu.index.screen import ScreenedAlignmentEngine
-
-        import os
 
         engine = ScreenedAlignmentEngine(
             emb, counts, score_dtype=jnp.bfloat16,
@@ -328,6 +327,95 @@ def sustained_train(config_path: str) -> None:
     }))
 
 
+def build_bench(n_songs: int = 1000, seconds: float = 30.0) -> None:
+    """DB-build throughput on the real chip — the one metric named in
+    BASELINE.json ("DB-build fps/sec") never captured before round 4.
+
+    Runs the production build hot loop (builder.build_embeddings: decode
+    stream -> packed embed chunks -> raw f32 append) over a synthetic
+    WAV corpus at the flagship dims (d=128/h=1024/u=32) and reports
+    audio-s/s/chip, embeddings/s, and the host/device phase split.
+    Audio content doesn't affect throughput (the chain is
+    decode/resample/unfold + mel+conv MACs), so white-noise songs keep
+    the bench self-contained.  vs_baseline is against a 1000x-realtime
+    target (a 20k-track x 30 s corpus in ~10 min/chip); the reference's
+    own builder rate was never published (SURVEY.md section 6)."""
+    import shutil
+    import sys
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from builder import build_embeddings
+    from pfann_tpu.audio.io import write_wav
+    from pfann_tpu.data.musicdata import MusicDataset
+    from pfann_tpu.index.embedder import Embedder
+    from pfann_tpu.models.fp_network import build_fp_network
+    from pfann_tpu.utils import checkpoint as ckpt
+
+    params = {
+        "sample_rate": 8000, "stft_n": 1024, "stft_hop": 256,
+        "n_mels": 256, "f_min": 300, "f_max": 4000,
+        "segment_size": 1, "hop_size": 0.5,
+        "model": {"d": 128, "h": 1024, "u": 32, "fuller": True},
+        "indexer": {"top_k": 100, "frame_shift_mul": 1},
+    }
+    tmp = tempfile.mkdtemp(prefix="pfann_build_bench_")
+    try:
+        rng = np.random.default_rng(0)
+        n = int(params["sample_rate"] * seconds)
+        list_path = os.path.join(tmp, "list.txt")
+        with open(list_path, "w") as f:
+            for i in range(n_songs):
+                p = os.path.join(tmp, "t%05d.wav" % i)
+                write_wav(p, 0.5 * rng.standard_normal(n).astype(np.float32),
+                          params["sample_rate"])
+                f.write(p + "\n")
+
+        model = build_fp_network(params, compute_dtype=jnp.bfloat16)
+        variables = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((2, model.F, model.T))
+        )
+        model_path = os.path.join(tmp, "model.msgpack")
+        ckpt.save_model(model_path, variables)
+        chunk = 2048 if jax.default_backend() == "tpu" else 512
+        embedder = Embedder(params, model_path, chunk=chunk)
+        # warm the compile outside the measured region
+        embedder.embed(np.zeros((chunk, embedder.segment_size), np.float32))
+
+        dataset = MusicDataset(list_path, params)
+        t0 = time.time()
+        with open(os.path.join(tmp, "embeddings"), "wb") as emb_file:
+            out = build_embeddings(
+                embedder, dataset, emb_file, hop_size=params["hop_size"]
+            )
+        wall = time.time() - t0
+        st = out["stats"]
+        print(
+            "decode %.1fs embed %.1fs write %.1fs wall %.1fs"
+            % (st["decode_s"], st["embed_s"], st["write_s"], wall),
+            file=sys.stderr,
+        )
+        audio_per_s = st["audio_s"] / wall
+        print(json.dumps({
+            "metric": "db_build_throughput",
+            "value": round(audio_per_s, 1),
+            "unit": "audio-s/s/chip",
+            "vs_baseline": round(audio_per_s / 1000.0, 3),
+            "embeddings_per_sec": round(out["total"] / wall, 1),
+            "n_songs": n_songs,
+            "phase_split_s": {
+                "decode": round(st["decode_s"], 2),
+                "embed": round(st["embed_s"], 2),
+                "write": round(st["write_s"], 2),
+                "wall": round(wall, 2),
+            },
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _wait_for_backend(retries: int = 5, delay_s: float = 120.0) -> None:
     """The tunneled TPU relay sporadically reports UNAVAILABLE for
     10+ minutes (observed during round 3).  The driver runs this script
@@ -369,6 +457,12 @@ if __name__ == "__main__":
     import sys as _sys
 
     _wait_for_backend()
+    if "--build" in _sys.argv:
+        at = _sys.argv.index("--build")
+        n = (int(_sys.argv[at + 1]) if len(_sys.argv) > at + 1
+             and _sys.argv[at + 1].isdigit() else 1000)
+        build_bench(n)
+        _sys.exit(0)
     if "--train-epoch" in _sys.argv:
         at = _sys.argv.index("--train-epoch")
         cfg = (_sys.argv[at + 1] if len(_sys.argv) > at + 1

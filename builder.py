@@ -10,8 +10,20 @@ DB directory layout (see pfann_tpu/index/database.py):
   the faiss landmarkValue binary (the TPU engine searches the raw
   embedding matrix directly, so no ANN training step exists — the
   "train indexer" phase of the reference is gone by design).
+
+Unlike the reference's per-song device loop (builder.py:88-100: one mel
++model call per 32-segment split), songs are PACKED into shared embed
+chunks: a 30 s song is ~59 segments while the TPU embed chunk is 2048
+rows, so per-song dispatch wastes ~97% of each call — and on the
+tunneled sandbox TPU each call costs a fixed host-sync RTT.  Packing
+~34 songs per call is a ~30x cut in device round trips; per-song
+landmarkKey counts and write order are unchanged.  The build prints a
+final ``build stats`` JSON line (decode/embed/write wall-clock split +
+audio-s/s and embeddings/s) — the DB-build throughput metric of
+BASELINE.json, captured by ``bench.py --build``.
 """
 
+import json
 import os
 import shutil
 import sys
@@ -29,10 +41,65 @@ from pfann_tpu.index.embedder import Embedder
 from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config
 
 
+def build_embeddings(
+    embedder, dataset, emb_file, hop_size: float, num_workers: int = 4
+) -> dict:
+    """The build hot loop: decode stream -> packed embed chunks -> raw
+    f32 append.  Returns {landmark_key, total, stats} where stats is the
+    decode/embed/write phase split (seconds) plus audio-seconds
+    processed.  Songs are packed into chunks of ~embedder.chunk segments
+    so device round trips are amortized across songs (module docstring);
+    embeddings are written strictly in list order."""
+    logger = get_logger()
+    landmark_key: list[int] = []
+    total = 0
+    audio_s = 0.0
+    stats = {"decode_s": 0.0, "embed_s": 0.0, "write_s": 0.0}
+    pending: list[np.ndarray] = []  # decoded segment arrays, list order
+    pending_rows = 0
+    target = max(int(embedder.chunk), 1)
+
+    def flush():
+        nonlocal pending, pending_rows, total
+        if not pending:
+            return
+        tm = time.time()
+        z = embedder.embed(np.concatenate(pending))
+        stats["embed_s"] += time.time() - tm
+        tm = time.time()
+        emb_file.write(z.astype(np.float32).tobytes())
+        stats["write_s"] += time.time() - tm
+        total += z.shape[0]
+        pending = []
+        pending_rows = 0
+
+    tm_decode = time.time()
+    for i, name, wav in dataset.iterate(num_workers=num_workers):
+        stats["decode_s"] += time.time() - tm_decode
+        if wav.shape[0] == 0:
+            print("load %s error!" % name)
+            landmark_key.append(0)
+            tm_decode = time.time()
+            continue
+        landmark_key.append(int(wav.shape[0]))
+        audio_s += wav.shape[0] * hop_size
+        pending.append(wav)
+        pending_rows += wav.shape[0]
+        if pending_rows >= target:
+            flush()
+        tm_decode = time.time()
+    flush()
+    stats["audio_s"] = audio_s
+    logger.info(
+        "build stats decode %.3fs embed %.3fs write %.3fs audio %.1fs",
+        stats["decode_s"], stats["embed_s"], stats["write_s"], audio_s,
+    )
+    return {"landmark_key": landmark_key, "total": total, "stats": stats}
+
+
 def main() -> None:
     logger_init = MultiProcessInitLogger("builder")
     logger_init()
-    logger = get_logger()
 
     if len(sys.argv) < 3:
         print("Usage: python %s <music list file> <db location>" % sys.argv[0])
@@ -58,21 +125,17 @@ def main() -> None:
     dataset = MusicDataset(file_list_for_db, params)
 
     os.makedirs(dir_for_db, exist_ok=True)
-    landmark_key = []
-    total = 0
+    tm_0 = time.time()
     with open(os.path.join(dir_for_db, "embeddings"), "wb") as emb_file:
-        for i, name, wav in dataset.iterate(num_workers=4):
-            tm_0 = time.time()
-            if wav.shape[0] == 0:
-                print("load %s error!" % name)
-                landmark_key.append(0)
-                continue
-            z = embedder.embed(wav)
-            emb_file.write(z.astype(np.float32).tobytes())
-            total += z.shape[0]
-            landmark_key.append(int(wav.shape[0]))
-            logger.info("compute embedding %.6fs", time.time() - tm_0)
+        out = build_embeddings(
+            embedder, dataset, emb_file, hop_size=params["hop_size"]
+        )
+    landmark_key, total = out["landmark_key"], out["total"]
+    wall = time.time() - tm_0
+    stats = dict(out["stats"], wall_s=wall, total_embeddings=total,
+                 n_songs=len(landmark_key))
     print("total", total, "embeddings")
+    print("build stats %s" % json.dumps(stats))
     if total == 0:
         print("The database is empty!")
 
