@@ -237,6 +237,15 @@ class AlignmentEngine:
             # materializing them; the alpha transform needs the per-window
             # slices, so alpha rides the XLA impl (see module docstring)
             impl = "xla"
+        if impl == "pallas":
+            from pfann_tpu.index.pallas_align import HALO
+
+            if pad > HALO:
+                # the kernel synthesizes a HALO-row zero halo per song
+                # group; filters longer than HALO windows would read into
+                # the next group.  A pad that large means the user wants
+                # long (e.g. 60 s) queries -> XLA impl
+                impl = "xla"
         self.impl = impl
         self.score_alpha = float(score_alpha)
         if impl == "pallas":
@@ -271,6 +280,18 @@ class AlignmentEngine:
     def max_query_windows(self) -> int:
         return self.pad  # longer filters could cross into the next region
 
+    # HBM ceiling for the XLA impl's [N, S, B] score tensor: long (60 s,
+    # S=119) queries against big layouts shrink the dispatch batch so the
+    # materialized scores stay well under device memory
+    SCORE_BYTES_CAP = 4 << 30
+
+    def _chunk_for(self, S: int) -> int:
+        if self.impl != "xla":
+            return self.max_batch
+        itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
+        per_b = int(self._db.shape[0]) * S * itemsize
+        return max(1, min(self.max_batch, self.SCORE_BYTES_CAP // max(per_b, 1)))
+
     def search_device(self, filters: np.ndarray, sub_lens=None) -> list:
         """Dispatch alignment over max_batch-row chunks WITHOUT pulling
         results to the host — returns a list of (best, argoff) device
@@ -282,14 +303,15 @@ class AlignmentEngine:
         contribute 0 rather than exp(-alpha); omitted means every row is
         a real window."""
         B, S, _ = filters.shape
+        mb = self._chunk_for(S)
         outs = []
-        for i in range(0, B, self.max_batch):
-            chunk = filters[i : i + self.max_batch]
+        for i in range(0, B, mb):
+            chunk = filters[i : i + mb]
             n = chunk.shape[0]
-            if n < self.max_batch:
+            if n < mb:
                 chunk = np.concatenate(
                     [chunk,
-                     np.zeros((self.max_batch - n, S, self.d),
+                     np.zeros((mb - n, S, self.d),
                               np.float32)]
                 )
             q_valid = None
@@ -298,7 +320,7 @@ class AlignmentEngine:
                     lens = np.full(n, S, np.int32)
                 else:
                     lens = np.asarray(sub_lens[i : i + n])
-                lens = np.pad(lens, (0, self.max_batch - n))
+                lens = np.pad(lens, (0, mb - n))
                 q_valid = jnp.asarray(
                     (np.arange(S)[:, None] < lens[None, :]).astype(np.float32)
                 )

@@ -335,6 +335,13 @@ class ScreenedAlignmentEngine:
     ):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from pfann_tpu.index.pallas_align import HALO
+
+            if -(-pad // k) > HALO:
+                # coarse filters have ceil(S/k) <= ceil(pad/k) windows;
+                # beyond the kernel's halo the coarse stage must run XLA
+                impl = "xla"
         if backend == "auto":
             backend = "approx" if jax.default_backend() == "tpu" else "exact"
         self.impl = impl
@@ -409,6 +416,21 @@ class ScreenedAlignmentEngine:
         self._fns[key] = fn
         return fn
 
+    # HBM ceiling for the stage-2 workspace (gathered regions [B, M, R, d]
+    # + score tensor [B, M, R+S, S]); long queries shrink the dispatch
+    # batch instead of OOMing
+    STAGE2_BYTES_CAP = 4 << 30
+
+    def _chunk_for(self, S: int) -> int:
+        itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
+        per_b = self.top_m * (self.R * self.d + (self.R + S) * S) * itemsize
+        cap = max(1, self.STAGE2_BYTES_CAP // max(per_b, 1))
+        if self.impl == "pallas":
+            from pfann_tpu.index.pallas_align import LANE
+
+            cap = max(LANE, cap // LANE * LANE)  # kernel needs LANE multiples
+        return max(1, min(self.max_batch, cap))
+
     def _dispatch(self, filters, sub_lens=None, with_stats=False):
         """Chunk over max_batch (padding the tail chunk) WITHOUT host
         syncs; returns a list of (cand, best, argoff[, stats]) device
@@ -419,15 +441,16 @@ class ScreenedAlignmentEngine:
         contribute 0, not exp(-alpha))."""
         B, S, _ = filters.shape
         fn = self._query_fn(S, with_stats)
+        mb = self._chunk_for(S)
         outs = []
-        for i in range(0, B, self.max_batch):
-            chunk = filters[i : i + self.max_batch]
+        for i in range(0, B, mb):
+            chunk = filters[i : i + mb]
             n = chunk.shape[0]
-            if n < self.max_batch:
+            if n < mb:
                 arr = np.asarray(chunk)  # tail: host pad, dtype preserved
                 chunk = np.concatenate(
                     [arr,
-                     np.zeros((self.max_batch - n, S, self.d),
+                     np.zeros((mb - n, S, self.d),
                               arr.dtype)]
                 )
             q_valid = None
@@ -436,7 +459,7 @@ class ScreenedAlignmentEngine:
                     lens = np.full(n, S, np.int32)
                 else:
                     lens = np.asarray(sub_lens[i : i + n])
-                lens = np.pad(lens, (0, self.max_batch - n))
+                lens = np.pad(lens, (0, mb - n))
                 q_valid = jnp.asarray(
                     (np.arange(S)[None, :] < lens[:, None]).astype(np.float32)
                 )

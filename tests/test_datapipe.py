@@ -245,3 +245,84 @@ def test_genquery_cli(pipeline_root, tmp_path):
     a, _ = get_audio(paths[0])
     b, _ = get_audio(os.path.join(out2, os.path.basename(paths[0])))
     np.testing.assert_array_equal(a, b)
+
+
+def _legacy_get_batch(ds, indices, eval_time_shift, rng):
+    """The round-3 per-segment host assembly (kept as the golden
+    reference for the vectorized gather): list-of-get_single_segment +
+    Python pair slicing, dataset_v2.py:126-149 semantics."""
+    seg = ds.segment_size
+    if eval_time_shift:
+        shift_range = seg // 2
+        x = [ds.get_single_segment(i, -(seg // 4), seg + shift_range)
+             for i in indices]
+        offset1 = np.full(len(x), seg // 4)
+        offset2 = rng.integers(0, shift_range + 1, len(x))
+    else:
+        shift_range = ds.time_offset - seg
+        x = [ds.get_single_segment(i, 0, ds.time_offset) for i in indices]
+        if ds.params.get("time_shift_type", "triangle") == "uniform":
+            n = len(x)
+            shft = rng.integers(0, shift_range + 1, n)
+            mov = rng.integers(0, shift_range - shft + 1, n)
+            swap = rng.random(n) > 0.5
+            offset1 = np.where(swap, shft + mov, mov)
+            offset2 = np.where(swap, mov, shft + mov)
+        else:
+            offset1 = rng.integers(0, shift_range + 1, len(x))
+            offset2 = rng.integers(0, shift_range + 1, len(x))
+    window = ds.pad_start + seg
+    x_org = np.stack(
+        [xi[o + ds.pad_start : o + window] for xi, o in zip(x, offset1)]
+    )
+    x_aug = np.stack([xi[o : o + window] for xi, o in zip(x, offset2)])
+    return x_org, x_aug
+
+
+@pytest.mark.parametrize("mode", ["train", "eval", "uniform"])
+def test_vectorized_get_batch_matches_legacy(pipeline_root, mode):
+    """The fancy-index batch gather (and its rng draw order) is
+    bit-identical to the per-segment slicing it replaced — including
+    song-edge zero padding on first/last segments."""
+    from pfann_tpu.data.segments import MusicSegmentDataset
+
+    cfg = dict(pipeline_root)
+    if mode == "uniform":
+        cfg["time_shift_type"] = "uniform"
+    ds = MusicSegmentDataset(cfg, "train", num_workers=2)
+    # include song-boundary segments (idx 0 = song start; last = song end)
+    indices = [0, 1, 10, 11, 21, 43, len(ds) - 1]
+    eval_ts = mode == "eval"
+    a_org, a_aug = ds.get_batch(
+        indices, eval_ts, np.random.default_rng(123)
+    )
+    b_org, b_aug = _legacy_get_batch(
+        ds, indices, eval_ts, np.random.default_rng(123)
+    )
+    np.testing.assert_array_equal(a_org, b_org)
+    np.testing.assert_array_equal(a_aug, b_aug)
+    assert a_org.dtype == np.int16
+
+
+def test_device_corpus_loader_matches_host(pipeline_root):
+    """device_corpus=True (HBM-resident cache + on-device window crops —
+    the TPU transport optimization) yields batches bit-identical to the
+    host gather path."""
+    from pfann_tpu.data.segments import SegmentedDataLoader
+
+    host = SegmentedDataLoader("train", dict(pipeline_root), num_workers=2)
+    dev = SegmentedDataLoader(
+        "train", dict(pipeline_root, device_corpus=True), num_workers=2
+    )
+    assert host._corpus_dev is None and dev._corpus_dev is not None
+    for loader in (host, dev):
+        loader.set_epoch(3)
+    for (a, b), _ in zip(zip(iter(host), iter(dev)), range(3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # eval_time_shift mode too (different cue math)
+    for loader in (host, dev):
+        loader.eval_time_shift = True
+        loader.augmented = False
+    a = np.asarray(next(iter(host)))
+    b = np.asarray(next(iter(dev)))
+    np.testing.assert_array_equal(a, b)
