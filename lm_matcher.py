@@ -18,10 +18,10 @@ import time
 import numpy as np
 
 from pfann_tpu.landmark import LandmarkIndex
-from pfann_tpu.landmark.core import HOP
+from pfann_tpu.landmark.core import HOP, extract_hashes, pair_peaks
 from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_file_list
 
-from lm_builder import load_mono
+from lm_builder import load_mono, make_extractor
 
 
 def main() -> None:
@@ -36,26 +36,44 @@ def main() -> None:
 
     idx = LandmarkIndex.load(db_dir)
     queries = read_file_list(query_list)
+    extractor = make_extractor(logger)
+    batch = extractor.batch if extractor is not None else 1
+
+    def hash_batch(paths):
+        """[(hashes, t_anchor)] per query — spectrogram/peaks batched on
+        the accelerator when available, numpy otherwise."""
+        wavs = []
+        for path in paths:
+            try:
+                wavs.append(load_mono(path, sr))
+            except Exception as e:
+                logger.error("load %s error: %r", path, e)
+                wavs.append(np.zeros(0, dtype=np.float32))
+        if extractor is None:
+            return [extract_hashes(w) for w in wavs]
+        from pfann_tpu.landmark.device import as_device_input
+
+        peaks = extractor.extract([as_device_input(w) for w in wavs])
+        return [pair_peaks(p) for p in peaks]
 
     with open(result_file, "w", encoding="utf8", newline="\n") as fout, open(
         result_file + ".csv", "w", encoding="utf8", newline=""
     ) as fcsv, open(result_file + ".bin", "wb") as fbin:
         writer = csv.writer(fcsv)
         writer.writerow(["query", "answer", "time"])
-        for path in queries:
+        for at in range(0, len(queries), batch):
+            chunk = queries[at : at + batch]
             tm = time.time()
-            try:
-                wav = load_mono(path, sr)
-            except Exception as e:
-                logger.error("load %s error: %r", path, e)
-                wav = np.zeros(0, dtype=np.float32)
-            best, table = idx.query(wav)
-            ans = idx.song_list[best] if best >= 0 else "error"
-            t = table[best, 0] * HOP / sr if best >= 0 else 0.0
-            fout.write("%s\t%s\n" % (path, ans))
-            writer.writerow([path, ans, t])
-            fbin.write(table.astype(np.int32).tobytes())
-            logger.info("query %s %.6fs", path, time.time() - tm)
+            hashed = hash_batch(chunk)
+            for path, (h, tq) in zip(chunk, hashed):
+                best, table = idx.query_hashes(h, tq)
+                ans = idx.song_list[best] if best >= 0 else "error"
+                t = table[best, 0] * HOP / sr if best >= 0 else 0.0
+                fout.write("%s\t%s\n" % (path, ans))
+                writer.writerow([path, ans, t])
+                fbin.write(table.astype(np.int32).tobytes())
+            logger.info("query batch %d+%d %.6fs", at, len(chunk),
+                        time.time() - tm)
     logger.info("done: %d queries", len(queries))
 
 

@@ -138,16 +138,40 @@ class LandmarkIndex:
 
     # -------------------------------------------------- construction
     @classmethod
-    def build(cls, signals, song_list=None):
-        """signals: iterable of mono float arrays (one per song)."""
+    def build(cls, signals, song_list=None, extractor=None):
+        """signals: iterable of mono arrays (one per song; float32, or
+        int16 for the device path's half-size transfers).  extractor:
+        an optional landmark.device.DevicePeakExtractor — songs are then
+        buffered into accelerator batches for the spectrogram/peak
+        stage (pairing stays host-side either way)."""
         all_h, all_s, all_t = [], [], []
         n = 0
-        for song_id, wav in enumerate(signals):
-            h, t = extract_hashes(wav)
+
+        def add(song_id, h, t):
             all_h.append(h)
             all_s.append(np.full(h.shape[0], song_id, dtype=np.int32))
             all_t.append(t)
-            n = song_id + 1
+
+        if extractor is None:
+            for song_id, wav in enumerate(signals):
+                add(song_id, *extract_hashes(wav))
+                n = song_id + 1
+        else:
+            buf: list[np.ndarray] = []
+
+            def flush():
+                nonlocal n
+                for peaks in extractor.extract(buf):
+                    add(n, *pair_peaks(peaks))
+                    n += 1
+                buf.clear()
+
+            for wav in signals:
+                buf.append(np.asarray(wav))
+                if len(buf) >= extractor.batch:
+                    flush()
+            if buf:
+                flush()
         cat = lambda xs, d: (np.concatenate(xs) if xs else
                              np.zeros(0, dtype=d))
         return cls(cat(all_h, np.int32), cat(all_s, np.int32),
@@ -183,8 +207,14 @@ class LandmarkIndex:
         """Returns (best_song, table int32 [n_songs, 2]) — table column 0
         is the winning time offset in frames (t_db - t_query, clipped to
         >= 0), column 1 the vote count of that offset's histogram bin."""
+        return self.query_hashes(*extract_hashes(wav))
+
+    def query_hashes(self, h: np.ndarray, tq: np.ndarray
+                     ) -> tuple[int, np.ndarray]:
+        """query() on precomputed (hashes, t_anchor) — the entry point
+        for batched device extraction (lm_matcher batches the
+        spectrogram/peak stage across queries, then votes per query)."""
         table = np.zeros((self.n_songs, 2), dtype=np.int32)
-        h, tq = extract_hashes(wav)
         if h.shape[0] == 0 or self.hashes.shape[0] == 0:
             return -1, table
         lo = np.searchsorted(self.hashes, h, side="left")
