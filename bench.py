@@ -553,6 +553,97 @@ def build_bench(n_songs: int = 1000, seconds: float = 30.0) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def db_bench(db_dir: str) -> None:
+    """Retrieval throughput on a REAL built DB directory — the same
+    embedding matrix the accuracy harness matches against, not random
+    vectors (VERDICT r3 missing #1: the screened engine's q/s and recall
+    sanity had only ever been measured on synthetic embeddings).
+
+    Loads <db_dir>/embeddings via Database (engine auto-selects: screen
+    at >= 20k songs), draws queries as real in-DB windows + noise, and
+    reports the slope-timed q/s for the auto engine AND the exhaustive
+    align control on the same matrix."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from pfann_tpu.index.database import Database
+    from pfann_tpu.utils import read_config
+
+    cfg = read_config(os.path.join(db_dir, "configs.json"))
+    db = Database(db_dir, cfg["indexer"], cfg.get("hop_size", 0.5))
+    emb, counts = db._emb_host, np.diff(db.song_pos)
+    n_songs = len(counts)
+    S = 19
+    starts = db.song_pos[:-1]
+    ok = counts >= S + 1
+    cand_songs = np.nonzero(ok)[0]
+
+    def make_batch(seed, B):
+        r = np.random.default_rng(seed)
+        filters = np.zeros((B, S, db.d), np.float32)
+        src = []
+        for b in range(B):
+            song = int(cand_songs[r.integers(0, cand_songs.shape[0])])
+            off = int(r.integers(0, counts[song] - S))
+            q = emb[starts[song] + off :][:S].copy()
+            q += 0.1 * r.standard_normal((S, db.d)).astype(np.float32)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            filters[b] = q
+            src.append(song)
+        return filters, src
+
+    def slope_qps(engine, label, seed0):
+        B = engine.max_batch if not hasattr(engine, "_chunk_for") \
+            else engine._chunk_for(S)
+        f0, src = make_batch(seed0, B)
+        f0d = jax.device_put(jnp.asarray(f0, jnp.bfloat16))
+        (song, _, _), = engine.search_top1_device(f0d)
+        hits = int((np.asarray(song) == np.asarray(src)).sum())
+        batches = [
+            jax.device_put(jnp.asarray(make_batch(seed0 + 1 + i, B)[0],
+                                       jnp.bfloat16))
+            for i in range(8)
+        ]
+        jax.block_until_ready(batches)
+
+        def run(M, trial):
+            s = jnp.bfloat16(1.0 + trial / 64.0)
+            t0 = time.time()
+            outs = [engine.search_top1_device(batches[j % 8] * s)
+                    for j in range(M)]
+            for o in outs:
+                np.asarray(o[0][0])
+            return time.time() - t0
+
+        lo = min(run(2, t) for t in range(3))
+        hi = min(run(8, 3 + t) for t in range(3))
+        sl = (hi - lo) / 6
+        if sl <= 0:
+            sl = hi / 8
+        print("%s: recall %d/%d  %.1f q/s" % (label, hits, B, B / sl),
+              file=sys.stderr)
+        return round(B / sl, 1), hits, B
+
+    res = {"metric": "db_queries_per_sec", "unit": "10s-queries/s/chip",
+           "n_songs": n_songs, "db": os.path.basename(db_dir.rstrip("/")),
+           "engine": db.engine}
+    qps, hits, B = slope_qps(db._align, db.engine, 100)
+    res["value"] = qps
+    res["vs_baseline"] = round(qps / 5000.0, 3)
+    res["recall_sanity"] = "%d/%d" % (hits, B)
+    if db.engine == "screen":
+        from pfann_tpu.index.align import AlignmentEngine
+
+        ctl = AlignmentEngine(emb, counts, score_dtype=jnp.bfloat16,
+                              pad=db._align.pad)
+        qps2, hits2, B2 = slope_qps(ctl, "align-control", 200)
+        res["align_control_qps"] = qps2
+        res["align_control_recall"] = "%d/%d" % (hits2, B2)
+    print(json.dumps(res))
+
+
 def landmark_bench(n_songs: int = 64, seconds: float = 30.0) -> None:
     """Landmark (constellation) extraction throughput: the accelerator-
     batched front end (landmark/device.py — framed DFT + reduce_window
@@ -663,6 +754,9 @@ if __name__ == "__main__":
         n = (int(_sys.argv[at + 1]) if len(_sys.argv) > at + 1
              and _sys.argv[at + 1].isdigit() else 10_000)
         long_query_bench(n)
+        _sys.exit(0)
+    if "--db" in _sys.argv:
+        db_bench(_sys.argv[_sys.argv.index("--db") + 1])
         _sys.exit(0)
     if "--lm" in _sys.argv:
         at = _sys.argv.index("--lm")
