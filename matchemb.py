@@ -3,8 +3,13 @@
 pipeline stage 2).
 
 CLI parity with reference matchemb.py:16-85:
-    python matchemb.py <query embedding dir> <database dir> <result file>
-"""
+    python matchemb.py [--batch N] <query embedding dir> <database dir> <result file>
+
+--batch N (default 128) dispatches N queries per device program via
+Database.query_embeddings_batch — the reference loops one faiss search
+per query (matchemb.py:61-76); batching amortizes the per-call host
+sync (~60-150 ms on a tunneled chip) and the DB HBM reads, which is
+what makes embed-once/match-many index sweeps cheap."""
 
 import csv
 import os
@@ -24,11 +29,17 @@ from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config, rea
 def main() -> None:
     MultiProcessInitLogger("matchemb")()
     logger = get_logger()
-    if len(sys.argv) < 4:
-        print("Usage: python %s <query embedding dir> <database dir> <result file>"
-              % sys.argv[0])
+    argv = list(sys.argv)
+    batch = 128
+    if "--batch" in argv:
+        at = argv.index("--batch")
+        batch = int(argv[at + 1])
+        del argv[at : at + 2]
+    if len(argv) < 4 or batch < 1:
+        print("Usage: python %s [--batch N] <query embedding dir>"
+              " <database dir> <result file>" % argv[0])
         sys.exit()
-    dir_for_query, dir_for_db, result_file = sys.argv[1:4]
+    dir_for_query, dir_for_db, result_file = argv[1:4]
     result_file2 = os.path.splitext(result_file)[0] + "_detail.csv"
     params = read_config(os.path.join(dir_for_db, "configs.json"))
     file_list = read_file_list(os.path.join(dir_for_query, "queryList.txt"))
@@ -54,16 +65,36 @@ def main() -> None:
     ) as fout2, open(result_file + ".bin", "wb") as fout_score:
         detail_writer = csv.writer(fout2)
         detail_writer.writerow(["query", "answer", "score", "time", "part_scores"])
-        for i, name in enumerate(file_list):
-            start, length = query_index[i]
-            embeddings = query_embeddings[start : start + length]
-            sco, (ans_id, tim), song_score = db.query_embeddings(embeddings)
-            ans = db.songList[ans_id] if ans_id >= 0 else "error"
-            fout.write("%s\t%s\n" % (name, ans))
+        for at in range(0, len(file_list), batch):
+            chunk = list(range(at, min(at + batch, len(file_list))))
+            # zero-length (error) extractions keep their row contract:
+            # query_embeddings on an empty array yields the 'error' line
+            full = [i for i in chunk
+                    if query_index[i][1] > 0 and db.ntotal > 0]
+            answers = {}
+            if full:
+                results = db.query_embeddings_batch([
+                    query_embeddings[query_index[i][0] :
+                                     query_index[i][0] + query_index[i][1]]
+                    for i in full
+                ])
+                answers = dict(zip(full, results))
+            for i in chunk:
+                if i in answers:
+                    sco, (ans_id, tim), song_score = answers[i]
+                else:
+                    sco, (ans_id, tim), song_score = db.query_embeddings(
+                        query_embeddings[query_index[i][0] :
+                                         query_index[i][0] + query_index[i][1]]
+                    )
+                name = file_list[i]
+                ans = db.songList[ans_id] if ans_id >= 0 else "error"
+                fout.write("%s\t%s\n" % (name, ans))
+                detail_writer.writerow([name, ans, sco, tim])
+                fout_score.write(song_score.tobytes())
             fout.flush()
-            detail_writer.writerow([name, ans, sco, tim])
             fout2.flush()
-            fout_score.write(song_score.tobytes())
+            logger.info("matchemb batch %d+%d", at, len(chunk))
     logger.info("total query time %.6fs", time.time() - tm_0)
 
 
