@@ -44,52 +44,81 @@ from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config
 def build_embeddings(
     embedder, dataset, emb_file, hop_size: float, num_workers: int = 4
 ) -> dict:
-    """The build hot loop: decode stream -> packed embed chunks -> raw
-    f32 append.  Returns {landmark_key, total, stats} where stats is the
-    decode/embed/write phase split (seconds) plus audio-seconds
-    processed.  Songs are packed into chunks of ~embedder.chunk segments
-    so device round trips are amortized across songs (module docstring);
-    embeddings are written strictly in list order."""
+    """The build hot loop: decode stream -> packed embed dispatches ->
+    raw f32 append, strictly in list order.  Returns {landmark_key,
+    total, stats} where stats is the decode/embed/write phase split
+    (seconds) plus audio-seconds processed.
+
+    Two device layouts:
+      * packed-song (default when hop | segment): RAW audio crosses the
+        host->device boundary (int16 when exact) and the overlap unfold
+        + per-segment de-mean run on device (Embedder.embed_songs_device)
+        — 4x fewer tunnel bytes than shipping host-unfolded f32 segments
+        at hop=segment/2, which measured as the build bottleneck (~25
+        MB/s H2D).  Dispatches are pipelined 2 deep so the next batch
+        decodes while the chip works.
+      * segment fallback (exotic hop): host unfold + embedder.embed.
+    """
     logger = get_logger()
     landmark_key: list[int] = []
     total = 0
     audio_s = 0.0
     stats = {"decode_s": 0.0, "embed_s": 0.0, "write_s": 0.0}
-    pending: list[np.ndarray] = []  # decoded segment arrays, list order
-    pending_rows = 0
-    target = max(int(embedder.chunk), 1)
+    # the dataset's own unfold stride (hop / frame_shift_mul) — builder
+    # forces fsm=1 (reference builder.py:64) but derive it anyway so the
+    # packed layout can never disagree with load_raw's segment counts
+    hop_samples = dataset.hop_size // dataset.frame_shift_mul
+    packed = embedder.can_pack(hop_samples)
 
-    def flush():
-        nonlocal pending, pending_rows, total
-        if not pending:
-            return
-        tm = time.time()
-        z = embedder.embed(np.concatenate(pending))
-        stats["embed_s"] += time.time() - tm
-        tm = time.time()
-        emb_file.write(z.astype(np.float32).tobytes())
-        stats["write_s"] += time.time() - tm
-        total += z.shape[0]
-        pending = []
+    if packed:
+        for i, name, z in embedder.embed_stream(
+            dataset, hop_samples, num_workers=num_workers, stats=stats
+        ):
+            if z.shape[0] == 0:
+                print("load %s error!" % name)
+            landmark_key.append(int(z.shape[0]))
+            audio_s += z.shape[0] * hop_size
+            tm = time.time()
+            emb_file.write(np.ascontiguousarray(z, np.float32).tobytes())
+            stats["write_s"] += time.time() - tm
+            total += z.shape[0]
+    else:
+        pending: list[np.ndarray] = []
         pending_rows = 0
+        target = max(int(embedder.chunk), 1)
 
-    tm_decode = time.time()
-    for i, name, wav in dataset.iterate(num_workers=num_workers):
-        stats["decode_s"] += time.time() - tm_decode
-        if wav.shape[0] == 0:
-            print("load %s error!" % name)
-            landmark_key.append(0)
-            tm_decode = time.time()
-            continue
-        landmark_key.append(int(wav.shape[0]))
-        audio_s += wav.shape[0] * hop_size
-        pending.append(wav)
-        pending_rows += wav.shape[0]
-        if pending_rows >= target:
-            flush()
+        def flush_seg():
+            nonlocal pending, pending_rows, total
+            if not pending:
+                return
+            tm = time.time()
+            z = embedder.embed(np.concatenate(pending))
+            stats["embed_s"] += time.time() - tm
+            tm = time.time()
+            emb_file.write(z.astype(np.float32).tobytes())
+            stats["write_s"] += time.time() - tm
+            total += z.shape[0]
+            pending = []
+            pending_rows = 0
+
         tm_decode = time.time()
-    flush()
+        for i, name, wav in dataset.iterate(num_workers=num_workers):
+            stats["decode_s"] += time.time() - tm_decode
+            if wav.shape[0] == 0:
+                print("load %s error!" % name)
+                landmark_key.append(0)
+                tm_decode = time.time()
+                continue
+            landmark_key.append(int(wav.shape[0]))
+            audio_s += wav.shape[0] * hop_size
+            pending.append(wav)
+            pending_rows += wav.shape[0]
+            if pending_rows >= target:
+                flush_seg()
+            tm_decode = time.time()
+        flush_seg()
     stats["audio_s"] = audio_s
+    stats["packed"] = packed
     logger.info(
         "build stats decode %.3fs embed %.3fs write %.3fs audio %.1fs",
         stats["decode_s"], stats["embed_s"], stats["write_s"], audio_s,

@@ -45,21 +45,28 @@ def main() -> None:
     os.makedirs(out_embed_dir, exist_ok=True)
     tm_0 = time.time()
     idx_pos = 0
+    hop = dataset.hop_size // dataset.frame_shift_mul
     with open(os.path.join(out_embed_dir, "query_embeddings"), "wb") as emb_file, \
          open(os.path.join(out_embed_dir, "query_index"), "wb") as idx_file:
-        for i, name, wav in dataset.iterate(num_workers=4):
-            tm_1 = time.time()
-            if wav.shape[0] == 0:
+        if embedder.can_pack(hop):
+            # packed pipelined path: raw audio H2D + device unfold,
+            # batches in flight while the next queries decode
+            stream = embedder.embed_stream(dataset, hop, num_workers=4)
+        else:
+            def _seg_stream():
+                for i, name, wav in dataset.iterate(num_workers=4):
+                    yield i, name, embedder.embed(wav) if wav.shape[0] \
+                        else np.zeros((0, embedder.d), np.float32)
+
+            stream = _seg_stream()
+        for i, name, z in stream:
+            if z.shape[0] == 0:
                 logger.error("load %s error!", name)
-                idx_file.write(np.array([idx_pos, 0], dtype=np.int64).tobytes())
-                continue
-            z = embedder.embed(wav)
-            emb_file.write(z.astype(np.float32).tobytes())
+            emb_file.write(np.ascontiguousarray(z, np.float32).tobytes())
             idx_file.write(
                 np.array([idx_pos, z.shape[0]], dtype=np.int64).tobytes()
             )
             idx_pos += z.shape[0]
-            logger.info("compute embedding %.6fs", time.time() - tm_1)
     print("total", idx_pos, "embeddings")
     shutil.copyfile(file_list_for_query, os.path.join(out_embed_dir, "queryList.txt"))
     shutil.copyfile(configs, os.path.join(out_embed_dir, "configs.json"))

@@ -57,6 +57,36 @@ class MusicDataset:
             )
 
     def _unsafe_load(self, index: int) -> tuple[int, str, np.ndarray]:
+        _, name, wav = self._load_mono(index)
+        segments = unfold(
+            wav, self.segment_size, self.hop_size // self.frame_shift_mul
+        )
+        segments = segments - segments.mean(axis=1, keepdims=True)
+        return index, self.files[index], segments.astype(np.float32)
+
+    # -------------------------------------------------- raw (packed) path
+    def load_raw(self, index: int) -> tuple[int, str, np.ndarray, int]:
+        """Like :meth:`load` but stops BEFORE the unfold: returns
+        (index, name, mono signal, n_segments).  The overlap expansion
+        (2x bytes at hop = segment/2) and the per-segment de-mean happen
+        on device (Embedder.embed_songs) — raw audio is what crosses the
+        slow host->device boundary, as int16 when that is exact
+        (utils/fastcast.int16_if_exact).  Errors return a zero-length
+        signal and n_segments 0 (the builder's error-row contract)."""
+        try:
+            _, name, wav = self._load_mono(index)
+        except Exception as x:
+            get_logger().exception(x)
+            return index, self.files[index], np.zeros(0, np.float32), 0
+        from pfann_tpu.utils.fastcast import int16_if_exact
+
+        hop = self.hop_size // self.frame_shift_mul
+        n = (wav.shape[0] - self.segment_size) // hop + 1
+        return index, name, int16_if_exact(wav), n
+
+    def _load_mono(self, index: int) -> tuple[int, str, np.ndarray]:
+        """Decode + resample + fake-stereo fix + mono + min-length pad —
+        the shared front of load()/load_raw()."""
         logger = get_logger()
         logger.info("MusicDataset getitem %s", self.files[index])
         name = self.files[index]
@@ -83,12 +113,7 @@ class MusicDataset:
 
         if wav.shape[0] < self.segment_size:
             wav = np.pad(wav, (0, self.segment_size - wav.shape[0]))
-
-        segments = unfold(
-            wav, self.segment_size, self.hop_size // self.frame_shift_mul
-        )
-        segments = segments - segments.mean(axis=1, keepdims=True)
-        return index, self.files[index], segments.astype(np.float32)
+        return index, name, wav
 
     def __len__(self) -> int:
         return len(self.files)
@@ -106,3 +131,12 @@ class MusicDataset:
         else:
             with concurrent.futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
                 yield from ex.map(self.load, range(len(self)))
+
+    def iterate_raw(self, num_workers: int = 0):
+        """iterate() for the packed (device-unfold) pipeline."""
+        if num_workers <= 0:
+            for i in range(len(self)):
+                yield self.load_raw(i)
+        else:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+                yield from ex.map(self.load_raw, range(len(self)))

@@ -9,6 +9,7 @@ size so every call reuses one compiled executable.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any
 
 import jax
@@ -76,6 +77,7 @@ class Embedder:
 
         self._embed = _embed
         self._embed_saliency = _embed_saliency
+        self._songs_fns: dict[tuple, Any] = {}
 
     def _pad_to(self, n: int) -> int:
         """Padded row count for an n-row (ragged) chunk."""
@@ -105,6 +107,153 @@ class Embedder:
         return np.concatenate(
             [np.asarray(y)[:n] for y, n in zip(outs, lens)]
         )
+
+    # ------------------------------------------------ packed-song path
+    def can_pack(self, hop: int) -> bool:
+        """The device unfold is a hop-reshape: it needs hop | segment."""
+        return hop > 0 and self.segment_size % hop == 0
+
+    def _songs_fn(self, B: int, L: int, hop: int):
+        """Jitted packed-song program: [B, L] raw audio -> [B, T, d]
+        embeddings, with the unfold (overlap expansion) and per-segment
+        de-mean ON DEVICE.  Raw audio is 1/(2*overlap) the bytes of the
+        host-unfolded f32 segment matrix (4x at hop=segment/2 with int16
+        staging) — the H2D transfer is the build pipeline's bottleneck
+        on a tunneled chip, not the MXU work."""
+        key = (B, L, hop)
+        if key in self._songs_fns:
+            return self._songs_fns[key]
+        import jax
+
+        seg = self.segment_size
+        k = seg // hop
+        T = L // hop - (k - 1)
+        mel, model = self.mel, self.model
+
+        @jax.jit
+        def fn(variables, a):
+            # int16 and float32 inputs each get their own compile (the
+            # dtype is part of the jit signature) — a shared two-carrier
+            # signature would H2D a dead [B, L] zeros buffer every call,
+            # which is exactly the transfer this path exists to avoid
+            x = (a.astype(jnp.float32) / 32768.0
+                 if a.dtype == jnp.int16 else a)
+            hops = x.reshape(B, L // hop, hop)
+            frames = jnp.concatenate(
+                [hops[:, i : i + T] for i in range(k)], axis=2
+            )  # [B, T, seg] — torch.unfold semantics (complete windows)
+            frames = frames - frames.mean(axis=2, keepdims=True)
+            z = model.apply(
+                variables, mel(frames.reshape(B * T, seg)), norm=True
+            )
+            return z.reshape(B, T, -1)
+
+        self._songs_fns[key] = fn
+        return fn
+
+    def embed_songs_device(
+        self, signals: list[np.ndarray], counts: list[int], hop: int,
+        pad_b: int | None = None,
+    ):
+        """Dispatch one packed batch of whole songs; returns a device
+        handle (no host sync — callers pipeline decode of the next batch
+        against this one's RTT) to pass to :meth:`gather_songs`.
+        signals: mono int16 (exact-scale) or float32; counts: complete
+        windows per song; pad_b pins the batch dim so ragged tails reuse
+        the compiled program."""
+        assert self.can_pack(hop)
+        B = max(pad_b or 0, len(signals))
+        seg = self.segment_size
+        need = max(
+            (c - 1) * hop + seg if c > 0 else 0 for c in counts
+        ) if counts else seg
+        L = -(-max(need, seg) // seg) * seg  # bucket to whole segments
+        all_i16 = all(s.dtype == np.int16 for s in signals)
+        buf = np.zeros((B, L), np.int16 if all_i16 else np.float32)
+        for b, s in enumerate(signals):
+            n = min(s.shape[0], L)
+            buf[b, :n] = s[:n] if all_i16 else np.asarray(s[:n], np.float32)
+        fn = self._songs_fn(B, L, hop)
+        return fn(self.variables, jnp.asarray(buf)), list(counts)
+
+    def gather_songs(self, handle) -> list[np.ndarray]:
+        """Sync a dispatched packed batch -> per-song [n_i, d] float32."""
+        dev, counts = handle
+        z = np.asarray(dev, dtype=np.float32)
+        return [z[b, : counts[b]] for b in range(len(counts))]
+
+    def embed_songs(
+        self, signals: list[np.ndarray], counts: list[int], hop: int
+    ) -> list[np.ndarray]:
+        """Convenience dispatch+gather (see embed_songs_device)."""
+        return self.gather_songs(
+            self.embed_songs_device(signals, counts, hop)
+        )
+
+    def embed_stream(self, dataset, hop: int, num_workers: int = 4,
+                     depth: int = 2, stats: dict | None = None):
+        """Decode -> packed pipelined embed over a MusicDataset: yields
+        (index, name, z [n, d] float32) in list order; errors yield a
+        [0, d] array.  Device dispatches run `depth` batches ahead of
+        the consumer, so the next batch decodes during the current
+        one's round trip.  stats (optional dict) accumulates the
+        decode_s/embed_s phase split.  Requires can_pack(hop)."""
+        import collections
+
+        assert self.can_pack(hop)
+        st = stats if stats is not None else {}
+        st.setdefault("decode_s", 0.0)
+        st.setdefault("embed_s", 0.0)
+        inflight: collections.deque = collections.deque()
+        pending: list[tuple[int, str, np.ndarray, int]] = []
+        group_b = 0
+
+        def dispatch():
+            nonlocal group_b
+            if not pending:
+                return
+            tm = time.time()
+            if not group_b:
+                group_b = len(pending)
+            handle = self.embed_songs_device(
+                [p[2] for p in pending], [p[3] for p in pending], hop,
+                pad_b=group_b,
+            )
+            inflight.append((handle, list(pending)))
+            pending.clear()
+            st["embed_s"] += time.time() - tm
+
+        def drain():
+            handle, meta = inflight.popleft()
+            tm = time.time()
+            zs = self.gather_songs(handle)
+            st["embed_s"] += time.time() - tm
+            for (i, name, _, _), z in zip(meta, zs):
+                yield i, name, z
+
+        tm_decode = time.time()
+        for i, name, sig, n_seg in dataset.iterate_raw(
+            num_workers=num_workers
+        ):
+            st["decode_s"] += time.time() - tm_decode
+            if n_seg <= 0:
+                # flush so the error row is yielded in list order
+                dispatch()
+                while inflight:
+                    yield from drain()
+                yield i, name, np.zeros((0, self.d), np.float32)
+            else:
+                pending.append((i, name, sig, int(n_seg)))
+                if sum(p[3] for p in pending) >= self.chunk or (
+                    group_b and len(pending) >= group_b
+                ):
+                    dispatch()
+                while len(inflight) > depth:
+                    yield from drain()
+            tm_decode = time.time()
+        dispatch()
+        while inflight:
+            yield from drain()
 
     def embed_with_saliency(
         self, wav: np.ndarray

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from pfann_tpu.utils.fastcast import int16_if_exact as as_device_input
 from .core import HOP, MIN_GAIN, N_FFT, NEIGH_F, NEIGH_T
 
 
@@ -46,17 +47,6 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def as_device_input(wav: np.ndarray) -> np.ndarray:
-    """int16 view of a decoded signal when that is EXACT (all values are
-    k/32768 with |k| <= 32767 — true for un-resampled 16-bit WAV), else
-    the float32 signal unchanged.  int16 halves the tunnel bytes and the
-    device rescale by 1/32768 is a power-of-2 divide, so the f32 frames
-    are bit-identical either way."""
-    w = np.asarray(wav, np.float32).reshape(-1)
-    s = w * 32768.0
-    if np.all(np.abs(s) <= 32767.0) and np.all(s == np.trunc(s)):
-        return s.astype(np.int16)
-    return w
 
 
 class DevicePeakExtractor:
@@ -83,14 +73,13 @@ class DevicePeakExtractor:
 
         F = N_FFT // 2 + 1
 
-        def fn(audio_i16, audio_f32, use_i16, valid_frames):
-            # audio: [B, L]; exactly one of the two carriers is real
-            # (the other is zeros) — keeping one jitted signature for
-            # both input dtypes costs one dead H2D of zeros, which the
-            # caller avoids by passing a shared cached zero buffer.
-            x = jnp.where(use_i16,
-                          audio_i16.astype(jnp.float32) / 32768.0,
-                          audio_f32)
+        def fn(audio, valid_frames):
+            # audio: [B, L] int16 or float32 — each dtype gets its own
+            # compile (a shared two-carrier signature would H2D a dead
+            # [B, L] zeros buffer every call, defeating the int16
+            # transfer saving)
+            x = (audio.astype(jnp.float32) / 32768.0
+                 if audio.dtype == jnp.int16 else audio)
             B, L = x.shape
             T = L // HOP - (N_FFT // HOP - 1)  # frames the layout holds
             # frame via hop-reshape: frames[b, t] = hops[b, t:t+4]
@@ -171,21 +160,16 @@ class DevicePeakExtractor:
         Tb = self._bucket(max(j[2] for j in chunk))
         L = (Tb + (N_FFT // HOP - 1)) * HOP
         all_i16 = all(j[1].dtype == np.int16 for j in chunk)
-        buf_i16 = np.zeros((B, L), np.int16)
-        buf_f32 = np.zeros((B, L), np.float32)
+        buf = np.zeros((B, L), np.int16 if all_i16 else np.float32)
         valid = np.zeros(B, np.int32)
         for b, (_, w, nf) in enumerate(chunk):
-            tgt = buf_i16 if all_i16 else buf_f32
-            tgt[b, : w.shape[0]] = w if all_i16 else w.astype(np.float32)
+            buf[b, : w.shape[0]] = w if all_i16 else w.astype(np.float32)
             valid[b] = nf
         key = (Tb, B)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._make_fn()
         fn = self._jit_cache[key]
-        packed = np.asarray(fn(
-            jnp.asarray(buf_i16), jnp.asarray(buf_f32),
-            jnp.asarray(all_i16), jnp.asarray(valid),
-        ))
+        packed = np.asarray(fn(jnp.asarray(buf), jnp.asarray(valid)))
         F = N_FFT // 2 + 1
         for b, (i, _, nf) in enumerate(chunk):
             mask = np.unpackbits(packed[b], axis=1)[:, :nf].astype(bool)

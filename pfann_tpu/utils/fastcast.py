@@ -45,3 +45,16 @@ def host_cast(x: np.ndarray, dtype) -> np.ndarray:
             np.uint16
         )
     return r.view(ml_dtypes.bfloat16)
+
+
+def int16_if_exact(wav: np.ndarray) -> np.ndarray:
+    """int16 view of a decoded audio signal when that is EXACT (every
+    value is k/32768 with |k| <= 32767 — true for un-resampled 16-bit
+    WAV), else the float32 signal unchanged.  int16 halves the bytes a
+    tunneled H2D moves and the on-device rescale by 1/32768 is a
+    power-of-2 divide, so downstream f32 math is bit-identical."""
+    w = np.asarray(wav, np.float32).reshape(-1)
+    s = w * 32768.0
+    if np.all(np.abs(s) <= 32767.0) and np.all(s == np.trunc(s)):
+        return s.astype(np.int16)
+    return w

@@ -1,0 +1,123 @@
+"""Packed-song embedding path (Embedder.embed_songs_device: raw audio
+in, unfold + de-mean + mel + encoder on device) vs the host-unfold
+segment path — the DB-build/query-embed transfer optimization."""
+
+import numpy as np
+import pytest
+
+from pfann_tpu.data.musicdata import MusicDataset, unfold
+from pfann_tpu.index.embedder import Embedder
+from pfann_tpu.utils.fastcast import int16_if_exact
+
+PARAMS = {
+    "sample_rate": 1000,
+    "stft_n": 128,
+    "stft_hop": 32,
+    "n_mels": 32,
+    "f_min": 50,
+    "f_max": 450,
+    "segment_size": 1,
+    "hop_size": 0.5,
+    "model": {"d": 16, "h": 32, "u": 4},
+    "indexer": {"top_k": 10, "frame_shift_mul": 1},
+}
+
+
+@pytest.fixture(scope="module")
+def embedder(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from pfann_tpu.models.fp_network import build_fp_network
+    from pfann_tpu.utils import checkpoint as ckpt
+
+    model = build_fp_network(PARAMS, compute_dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((2, model.F, model.T))
+    )
+    path = str(tmp_path_factory.mktemp("m") / "model.msgpack")
+    ckpt.save_model(path, variables)
+    return Embedder(PARAMS, path, compute_dtype=jnp.float32, chunk=64)
+
+
+def _sig(seed, seconds):
+    rng = np.random.default_rng(seed)
+    n = int(PARAMS["sample_rate"] * seconds)
+    q = rng.integers(-20000, 20000, n).astype(np.int16)
+    return q.astype(np.float32) / 32768
+
+
+def test_packed_matches_host_unfold(embedder):
+    hop = 500
+    sigs = [_sig(0, 3.0), _sig(1, 1.0), _sig(2, 2.25)]
+    counts = [(s.shape[0] - 1000) // hop + 1 for s in sigs]
+    packed = embedder.embed_songs(
+        [int16_if_exact(s) for s in sigs], counts, hop
+    )
+    for s, c, zp in zip(sigs, counts, packed):
+        segs = unfold(s, 1000, hop)
+        segs = segs - segs.mean(axis=1, keepdims=True)
+        zh = embedder.embed(segs.astype(np.float32))
+        assert zp.shape == (c, 16)
+        np.testing.assert_allclose(zp, zh, atol=2e-5)
+
+
+def test_packed_pad_b_reuses_shape(embedder):
+    hop = 500
+    sigs = [_sig(3, 2.0), _sig(4, 2.0)]
+    counts = [3, 3]
+    full = embedder.embed_songs(sigs, counts, hop)
+    # ragged tail pinned to pad_b=4: extra batch rows are zero songs
+    h = embedder.embed_songs_device(sigs, counts, hop, pad_b=4)
+    tail = embedder.gather_songs(h)
+    assert len(tail) == 2
+    for a, b in zip(full, tail):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_can_pack():
+    class E(Embedder):  # pylint: disable=super-init-not-called
+        def __init__(self):
+            self.segment_size = 8000
+
+    assert E().can_pack(4000) and E().can_pack(2000)
+    assert not E().can_pack(3000) and not E().can_pack(0)
+
+
+def test_builder_packed_matches_segment_fallback(embedder, tmp_path):
+    """build_embeddings writes identical landmarkKey and near-identical
+    embeddings through both device layouts (incl. an error row)."""
+    import io
+
+    from builder import build_embeddings
+    from pfann_tpu.audio.io import write_wav
+
+    paths = []
+    for i in range(5):
+        p = tmp_path / ("s%d.wav" % i)
+        write_wav(str(p), _sig(10 + i, 1.0 + 0.75 * i), PARAMS["sample_rate"])
+        paths.append(str(p))
+    broken = tmp_path / "broken.wav"
+    broken.write_bytes(b"not a wav at all")
+    paths.insert(2, str(broken))
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(p + "\n" for p in paths))
+
+    ds = MusicDataset(str(lst), PARAMS)
+    outs = {}
+    for packed in (True, False):
+        buf = io.BytesIO()
+        real = embedder.can_pack
+        embedder.can_pack = (lambda hop: False) if not packed else real
+        try:
+            out = build_embeddings(embedder, ds, buf, hop_size=0.5,
+                                   num_workers=0)
+        finally:
+            embedder.can_pack = real
+        outs[packed] = (out, np.frombuffer(buf.getvalue(), np.float32))
+    a, b = outs[True], outs[False]
+    assert a[0]["landmark_key"] == b[0]["landmark_key"]
+    assert a[0]["landmark_key"][2] == 0  # the error row
+    assert a[0]["total"] == b[0]["total"]
+    assert a[0]["stats"]["packed"] and not b[0]["stats"]["packed"]
+    np.testing.assert_allclose(a[1], b[1], atol=2e-5)
