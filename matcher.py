@@ -69,11 +69,16 @@ def match_list(
         # part_scores column is vestigial there too (upsco is always [])
         detail_writer.writerow(["query", "answer", "score", "time", "part_scores"])
 
-        # (name, ("wav", segments) | ("emb", embeddings)); wavs are packed
-        # into shared embed chunks at flush time — per-query device calls
-        # cost a full host-sync RTT each, packing amortizes it ~7x for
-        # 10 s queries (19 rows vs the 128-row chunk)
-        pending: list[tuple[str, tuple[str, np.ndarray]]] = []
+        # (name, ("wav", segments) | ("raw", (signal, n_seg)) |
+        # ("emb", embeddings)); queries are packed into shared embed
+        # dispatches at flush time — per-query device calls cost a full
+        # host-sync RTT each, packing amortizes it ~7x for 10 s queries
+        # (19 rows vs the 128-row chunk).  "raw" is the packed-song
+        # layout: raw audio H2D (int16 when exact) + device unfold, 4x
+        # fewer tunnel bytes than host-unfolded f32 segments.
+        hop = dataset.hop_size // dataset.frame_shift_mul
+        packed_mode = embedder.can_pack(hop) and not visualize
+        pending: list[tuple[str, tuple[str, object]]] = []
 
         def flush():
             nonlocal pending
@@ -81,10 +86,21 @@ def match_list(
                 return
             wav_idx = [i for i, (_, (kind, _)) in enumerate(pending)
                        if kind == "wav"]
+            raw_idx = [i for i, (_, (kind, _)) in enumerate(pending)
+                       if kind == "raw"]
             embs: list[np.ndarray | None] = [
-                None if kind == "wav" else payload
+                None if kind in ("wav", "raw") else payload
                 for _, (kind, payload) in pending
             ]
+            if raw_idx:
+                tm = time.time()
+                zs = embedder.embed_songs(
+                    [pending[i][1][1][0] for i in raw_idx],
+                    [pending[i][1][1][1] for i in raw_idx], hop,
+                )
+                for i, z in zip(raw_idx, zs):
+                    embs[i] = z
+                logger.info("compute embedding %.6fs", time.time() - tm)
             if wav_idx:
                 tm = time.time()
                 packed = embedder.embed(
@@ -110,9 +126,17 @@ def match_list(
             fout2.flush()
             pending = []
 
-        for i, name, wav in dataset.iterate(num_workers=4):
+        def rows():
+            if packed_mode:
+                for i, name, sig, n_seg in dataset.iterate_raw(num_workers=4):
+                    yield name, ("raw", (sig, n_seg)) if n_seg > 0 else None
+            else:
+                for i, name, wav in dataset.iterate(num_workers=4):
+                    yield name, ("wav", wav) if wav.shape[0] > 0 else None
+
+        for name, item in rows():
             logger.info("get query %s", name)
-            if wav.shape[0] == 0:
+            if item is None:
                 flush()  # keep output order
                 logger.error("load %s error!", name)
                 fout.write("%s\t%s\n" % (name, "error"))
@@ -125,6 +149,7 @@ def match_list(
                 continue
 
             if visualize:
+                _, wav = item
                 from pfann_tpu.index.saliency import save_saliency_png
 
                 tm_1 = time.time()
@@ -133,7 +158,7 @@ def match_list(
                 logger.info("compute embedding %.6fs", time.time() - tm_1)
                 pending.append((name, ("emb", embeddings)))
             else:
-                pending.append((name, ("wav", wav)))
+                pending.append((name, item))
             if len(pending) >= batch:
                 flush()
         flush()

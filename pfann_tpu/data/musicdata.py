@@ -17,6 +17,7 @@ Parity target: reference datautil/musicdata.py:12-104 —
 
 from __future__ import annotations
 
+import collections
 import concurrent.futures
 from typing import Any, Iterator
 
@@ -121,7 +122,28 @@ class MusicDataset:
     def __iter__(self) -> Iterator[tuple[int, str, np.ndarray]]:
         return self.iterate()
 
-    def iterate(self, num_workers: int = 0):
+    def _bounded_map(self, fn, num_workers: int, prefetch: int | None):
+        """Thread-prefetched in-order map with BACKPRESSURE: at most
+        `prefetch` decoded items in flight.  ex.map schedules the whole
+        corpus eagerly — 20k songs of decoded audio buffered in RAM —
+        because its workers never wait for the consumer."""
+        window = prefetch or 4 * num_workers
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=num_workers
+        ) as ex:
+            futs = collections.deque()
+            nxt = 0
+            n = len(self)
+            while nxt < min(window, n):
+                futs.append(ex.submit(fn, nxt))
+                nxt += 1
+            while futs:
+                yield futs.popleft().result()
+                if nxt < n:
+                    futs.append(ex.submit(fn, nxt))
+                    nxt += 1
+
+    def iterate(self, num_workers: int = 0, prefetch: int | None = None):
         """Sequential or thread-prefetched iteration (the reference uses
         DataLoader worker processes; decode here is subprocess/C-bound so
         threads suffice)."""
@@ -129,14 +151,17 @@ class MusicDataset:
             for i in range(len(self)):
                 yield self.load(i)
         else:
-            with concurrent.futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
-                yield from ex.map(self.load, range(len(self)))
+            yield from self._bounded_map(self.load, num_workers, prefetch)
 
-    def iterate_raw(self, num_workers: int = 0):
-        """iterate() for the packed (device-unfold) pipeline."""
+    def iterate_raw(self, num_workers: int = 0, prefetch: int | None = None):
+        """iterate() for the packed (device-unfold) pipeline.  The
+        default 4*num_workers window is sized in SONGS; embed_stream's
+        dispatch batches are ~34 songs, so pass prefetch >= 2 batches
+        for full decode/RTT overlap on long corpora."""
         if num_workers <= 0:
             for i in range(len(self)):
                 yield self.load_raw(i)
         else:
-            with concurrent.futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
-                yield from ex.map(self.load_raw, range(len(self)))
+            yield from self._bounded_map(
+                self.load_raw, num_workers, prefetch
+            )

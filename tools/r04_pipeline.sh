@@ -8,6 +8,9 @@
 # Assumes out/models/synth is trained and out/queries/synth_snr* exist.
 set -ue
 cd "$(dirname "$0")/.."
+# remote TPU compiles of the packed embed shapes take minutes; the
+# persistent cache makes every pipeline process after the first warm
+export PFANN_COMPILE_CACHE="${PFANN_COMPILE_CACHE:-.jax_tpu_cache}"
 SNRS="-6 -4 -2 0 2 4 6 8"
 mkdir -p out/dbs out/results out/qemb
 
