@@ -626,6 +626,36 @@ def db_bench(db_dir: str) -> None:
               file=sys.stderr)
         return round(B / sl, 1), hits, B
 
+    def search_qps(noise, seed0, label):
+        """The PRODUCTION serving path (engine.search: full song-score
+        tables + stage-3 rescue when enabled) at a given query noise —
+        clean traffic escalates ~nothing, heavy noise prices the rescue
+        ceiling.  Host-inclusive wall time (numpy scatter + host sync),
+        slope-timed over distinct batches."""
+        B = getattr(db._align, "max_batch", 128)
+        B = min(B, 128)
+        sub_lens = np.full(B, S, np.int32)
+
+        def noisy_batch(seed):
+            r = np.random.default_rng(seed)
+            f, _ = make_batch(seed, B)
+            f += noise * r.standard_normal(f.shape).astype(np.float32)
+            f /= np.linalg.norm(f, axis=2, keepdims=True)
+            return f
+        batches = [noisy_batch(seed0 + i) for i in range(6)]
+        db._align.search(batches[0], sub_lens)  # warm compiles
+
+        def run(M, at):
+            t0 = time.time()
+            for j in range(M):
+                db._align.search(batches[at + j], sub_lens)
+            return time.time() - t0
+        lo = min(run(1, t) for t in range(3))
+        hi = run(3, 3)
+        sl = max((hi - lo) / 2, 1e-9)
+        print("%s: %.1f q/s (host path)" % (label, B / sl), file=sys.stderr)
+        return round(B / sl, 1)
+
     res = {"metric": "db_queries_per_sec", "unit": "10s-queries/s/chip",
            "n_songs": n_songs, "db": os.path.basename(db_dir.rstrip("/")),
            "engine": db.engine}
@@ -641,6 +671,12 @@ def db_bench(db_dir: str) -> None:
         qps2, hits2, B2 = slope_qps(ctl, "align-control", 200)
         res["align_control_qps"] = qps2
         res["align_control_recall"] = "%d/%d" % (hits2, B2)
+        if db._align._rescue_tau is not None:
+            # production search() path: clean mix (cosine ~0.66, ~zero
+            # escalation) and the heavy-noise ceiling (cosine ~0.19,
+            # ~full escalation == exhaustive-rescue cost)
+            res["rescued_search_qps_clean"] = search_qps(0.05, 300, "rescued-clean")
+            res["rescued_search_qps_noisy"] = search_qps(0.46, 400, "rescued-noisy")
     print(json.dumps(res))
 
 

@@ -169,6 +169,9 @@ class Database:
                 screen_top_m=int(self.params.get("screen_top_m", 32)),
                 screen_coarse_dtype=self.params.get("screen_coarse_dtype"),
                 backend=self.params.get("backend", "auto"),
+                screen_rescue=float(
+                    self.params.get("screen_rescue", 0.4) or 0.0
+                ) or None,
             )
         elif engine == "align":
             from pfann_tpu.index.align import DEFAULT_PAD, AlignmentEngine
@@ -194,6 +197,13 @@ class Database:
                 # (same key the topk engine reads above)
                 backend=self.params.get("backend", "auto"),
                 score_alpha=self.score_alpha,
+                # stage-3 exhaustive rescue of low-best-score queries
+                # (screen_rescue: mean-IP cut, 0/false disables) — keeps
+                # screened answers identical to the exhaustive engine's
+                # (measured at 20k tracks, ACCURACY_r04.md)
+                rescue_threshold=float(
+                    self.params.get("screen_rescue", 0.4) or 0.0
+                ) or None,
             )
         else:
             self._ensure_raw_db()

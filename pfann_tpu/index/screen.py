@@ -36,10 +36,21 @@ noisy audio) screen recall == exhaustive == 100%; pushed to cosine
 ~0.19 (query 96% noise by energy) the exhaustive scan still resolves
 128/128 while the screen's survivor set drops the winner 18% of the
 time — pooling sums the db's neighboring rows incoherently, so the
-coarse stage pays an SNR price for its k^2 work cut.  If serving ever
-needs that regime, raise screen_top_m / lower screen_pool_k (cost is
-linear in M and 1/k) — or use the exhaustive engine, which is the
-default below the auto threshold anyway.
+coarse stage pays an SNR price for its k^2 work cut.  Round-4
+validation at the 20k-track auto-activation scale confirmed the regime
+on REAL embeddings: at SNR -6 the true song's coarse rank has a
+catastrophic tail (p99 = 8,907 of 20,030 — no affordable top_m
+recovers it; tools/screen_rank_diag.py, ACCURACY_r04.md).
+
+  Stage 3 (rescue, the fix): a query whose best EXACT stage-2 score
+    falls below ``rescue_threshold`` (mean-IP units, default 0.4) is
+    rescored against the FULL resident layout — db3 doubles as a
+    uniform alignment layout, so rescue is the exhaustive engine's
+    exact math at zero extra HBM.  The best-exact score separates the
+    two outcomes sharply: true alignments score >= ~0.45 while
+    pruned-winner queries score <= ~0.35 at every SNR, so screened
+    answers equal exhaustive answers, with escalation that prices only
+    the noisy fraction of traffic (40% at SNR -6 down to ~0% clean).
 
 Memory: pooled copy adds 1/k of the db; the gather materializes
 [B, M, R, d] per batch (~1.3 GB bf16 at B=1024, M=32, 100k-track R) —
@@ -332,6 +343,7 @@ class ScreenedAlignmentEngine:
         backend: str = "auto",
         interpret: bool = False,
         score_alpha: float = 0.0,
+        rescue_threshold: float | None = None,
     ):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -385,6 +397,38 @@ class ScreenedAlignmentEngine:
             cpad = np.zeros(n_pad, np.int32)
             cpad[: self.n_songs] = np.asarray(counts, np.int32)
             self._counts = jax.device_put(jnp.asarray(cpad), device)
+        # Exhaustive-rescue stage (stage 3): a query whose best EXACT
+        # survivor score lands below this mean-IP threshold is rescored
+        # against the FULL layout (self._db3 — already resident for
+        # stage 2, so rescue costs no extra HBM).  A low best-exact score
+        # is precisely the signature of a stage-1 prune that dropped the
+        # true song: measured on the 20k-track family corpus, every
+        # screen-vs-exhaustive answer disagreement at every SNR in -6..8
+        # scored below 0.35 while true alignments score >= ~0.45
+        # (ACCURACY_r04.md), so the fixed default recovers exhaustive
+        # answers exactly, at 8-40% escalation depending on noise.
+        # None/0 disables.  With score_alpha the same cut maps through
+        # the monotone exp transform.
+        self.rescue_threshold = rescue_threshold or None
+        self._rescue_tau = None
+        if self.rescue_threshold is not None:
+            t = float(self.rescue_threshold)
+            self._rescue_tau = (
+                float(np.exp(-self.score_alpha * (1.0 - t) ** 2))
+                if self.score_alpha != 0.0 else t
+            )
+        self._row_valid = None
+        if self.score_alpha != 0.0 and self.rescue_threshold is not None:
+            from pfann_tpu.index.align import build_row_valid
+
+            self._row_valid = jax.device_put(
+                jnp.asarray(build_row_valid(
+                    # + pad: matches the trailing zero rows _rescue_fn
+                    # appends for the XLA core's shifted slices
+                    np.asarray(counts), self.R, pad, n_pad * self.R + pad
+                )),
+                device,
+            )
         self._fns: dict = {}
 
     def max_query_windows(self) -> int:
@@ -489,6 +533,71 @@ class ScreenedAlignmentEngine:
             )
         return outs
 
+    # rescue dispatch width: one compiled shape for the exhaustive
+    # rescore of escalated queries (LANE multiple for the Pallas kernel)
+    RESCUE_CHUNK = 128
+
+    def _rescue_fn(self, S: int):
+        """Jitted FULL-layout alignment over the resident stage-2 regions
+        (db3 flattened is exactly a uniform alignment layout: R-row
+        regions, n_pad songs) — the exhaustive engine's math without a
+        second copy of the database."""
+        key = ("rescue", S)
+        if key in self._fns:
+            return self._fns[key]
+        impl = "xla" if self.score_alpha != 0.0 else self.impl
+        pad = self.pad
+
+        @jax.jit
+        def fn(db3, qpad, row_valid, q_valid):
+            db = db3.reshape(-1, db3.shape[-1])
+            if impl == "xla":
+                # the XLA core's shifted slices read S-1 rows past the
+                # last region; db3 has no trailing pad (the Pallas kernel
+                # synthesizes its halo instead)
+                db = jnp.pad(db, ((0, pad), (0, 0)))
+            return alignment_core(
+                db, qpad,
+                R=self.R, S=S, n_songs=self.n_pad,
+                score_dtype=self.score_dtype, impl=impl,
+                interpret=self.interpret,
+                score_alpha=self.score_alpha,
+                row_valid=row_valid, q_valid=q_valid,
+            )
+
+        self._fns[key] = fn
+        return fn
+
+    def _rescue(self, filters, sub_lens, esc: np.ndarray):
+        """Exhaustively rescore the escalated queries (rows ``esc`` of
+        ``filters``); returns (best [len(esc), n_songs] summed score,
+        argoff [len(esc), n_songs])."""
+        S = filters.shape[1]
+        fn = self._rescue_fn(S)
+        # memory guard mirroring AlignmentEngine.SCORE_BYTES_CAP for the
+        # XLA impl's materialized [N, S, B] score tensor
+        mb = self.RESCUE_CHUNK
+        if self.impl != "pallas" or self.score_alpha != 0.0:
+            itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
+            per_b = self.n_pad * self.R * S * itemsize
+            mb = max(1, min(mb, (4 << 30) // max(per_b, 1)))
+        bests, offs = [], []
+        for i in range(0, len(esc), mb):
+            take = esc[i : i + mb]
+            chunk = np.zeros((mb, S, self.d), np.float32)
+            chunk[: len(take)] = np.asarray(filters)[take]
+            q_valid = None
+            if self.score_alpha != 0.0:
+                lens = np.zeros(mb, np.int32)
+                lens[: len(take)] = np.asarray(sub_lens)[take]
+                q_valid = jnp.asarray(
+                    (np.arange(S)[:, None] < lens[None, :]).astype(np.float32)
+                )
+            b, o = fn(self._db3, jnp.asarray(chunk), self._row_valid, q_valid)
+            bests.append(np.asarray(b)[: len(take), : self.n_songs])
+            offs.append(np.asarray(o)[: len(take), : self.n_songs])
+        return np.concatenate(bests), np.concatenate(offs)
+
     # sigma-normalized coarse winner-vs-cut gap below which a query is
     # "close to the cut" (the screen's documented low-margin regime), and
     # the batch fraction of close queries that triggers the warning
@@ -558,4 +667,26 @@ class ScreenedAlignmentEngine:
             at += n
         if all_stats:
             self._log_stats(np.concatenate(all_stats))
+        if self._rescue_tau is not None and self.n_songs:
+            # stage 3: exhaustive rescue of low-confidence queries.  The
+            # per-query best EXACT score separates "screen found the true
+            # alignment" from "the coarse cut dropped it" (see __init__
+            # note); escalated rows get the full-table exhaustive result,
+            # making their answers identical to the align engine's.
+            best_mean = song_score.max(axis=1)
+            esc = np.nonzero(
+                (best_mean < self._rescue_tau) & (np.asarray(sub_lens) > 0)
+            )[0]
+            if len(esc):
+                from pfann_tpu.utils.logging import get_logger
+
+                get_logger().info(
+                    "screen rescue: %d/%d queries below tau=%.3f rescored "
+                    "exhaustively", len(esc), B, self._rescue_tau,
+                )
+                rb, ro = self._rescue(filters, sub_lens, esc)
+                song_score[esc] = rb / np.maximum(
+                    np.asarray(sub_lens)[esc, None], 1
+                )
+                song_t[esc] = ro - self.pad
         return song_score, song_t

@@ -101,6 +101,7 @@ class ShardedDatabase:
         screen_k: int = 4,
         screen_top_m: int = 32,
         screen_coarse_dtype=None,
+        screen_rescue: float | None = None,
     ):
         self.mesh = mesh
         self.axis = axis
@@ -112,6 +113,18 @@ class ShardedDatabase:
             backend = "approx" if jax.default_backend() == "tpu" else "exact"
         self.backend = backend
         self.engine = engine
+        # stage-3 exhaustive rescue cut for the screen engine (same
+        # semantics and default as ScreenedAlignmentEngine: a query whose
+        # best exact survivor MEAN score lands below this is rescored
+        # against the full per-shard layouts; score_alpha's monotone exp
+        # transform is applied to the cut when alpha != 0)
+        self.rescue_tau = None
+        if engine == "screen" and screen_rescue:
+            t = float(screen_rescue)
+            self.rescue_tau = (
+                float(np.exp(-score_alpha * (1.0 - t) ** 2))
+                if score_alpha else t
+            )
         # align-engine kernel choice: the fused Pallas kernel on TPU (the
         # round-1 single-chip headline path — the XLA variant is ~4x
         # slower at serving batch sizes), XLA elsewhere.  interpret=True
@@ -332,6 +345,42 @@ class ShardedDatabase:
 
         return jax.jit(sharded)
 
+    def _make_rescue_fn(self, S: int):
+        """Exhaustive per-shard alignment over the SAME resident screen
+        regions (db3 [n_shards, n_pad, R, d] flattened per shard is a
+        uniform alignment layout) — the stage-3 rescue body for escalated
+        queries; no second copy of the database."""
+        from pfann_tpu.index.align import alignment_core
+
+        axis, R = self.axis, self.R
+        impl, interpret = self.impl, self.interpret
+        songs_max = self.songs_max
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        def sharded_rescue(db3_sh, qpad, valid):
+            q = jnp.where(valid[:, :, None], qpad, 0.0)
+            d = db3_sh.shape[-1]
+            db = db3_sh[0].reshape(-1, d)
+            if impl == "xla":
+                # screen regions carry no trailing pad (the Pallas kernel
+                # synthesizes its halo); the XLA core's shifted slices
+                # need S-1 readable rows past the last region
+                db = jnp.pad(db, ((0, self.pad), (0, 0)))
+            best, argoff = alignment_core(
+                db, q, R=R, S=S,
+                n_songs=songs_max, score_dtype=db3_sh.dtype,
+                impl=impl, interpret=interpret,
+            )
+            return best[None], argoff[None]
+
+        return jax.jit(sharded_rescue)
+
     def _make_top1_fn(self, Sp: int, Bp: int):
         """Device-side top-1 finalize over the sharded align tables: only
         (score, flat_index, offset) per query crosses the host boundary —
@@ -477,6 +526,48 @@ class ShardedDatabase:
                     best[si] / lens[:, None]
                 )[ok]
                 out_time[bidx[ok], ids[ok]] = (argoff[si] - self.pad)[ok]
+            if self.rescue_tau is not None and self.n_songs:
+                true_lens = np.asarray([q.shape[0] for q in queries])
+                esc = np.nonzero(
+                    (out_max.max(axis=1) < self.rescue_tau)
+                    & (true_lens > 0)
+                )[0]
+                if len(esc):
+                    from pfann_tpu.utils.logging import get_logger
+
+                    get_logger().info(
+                        "sharded screen rescue: %d/%d queries below "
+                        "tau=%.3f rescored exhaustively",
+                        len(esc), B, self.rescue_tau,
+                    )
+                    if self.impl == "pallas":
+                        from pfann_tpu.index.pallas_align import LANE
+
+                        Be = -(-len(esc) // LANE) * LANE
+                    else:
+                        Be = bucket_batch(len(esc))
+                    qr = np.zeros((Be, S, self.d), dtype=np.float32)
+                    vr = np.zeros((Be, S), dtype=bool)
+                    qr[: len(esc)] = qpad[esc]
+                    vr[: len(esc)] = valid[esc]
+                    rkey = ("rescue", S, Be)
+                    if rkey not in self._query_cache:
+                        self._query_cache[rkey] = self._make_rescue_fn(S)
+                    rb, ro = self._query_cache[rkey](
+                        self._db, jnp.asarray(qr), jnp.asarray(vr)
+                    )
+                    rb = np.asarray(rb)[:, : len(esc)]  # [n_shards, e, songs]
+                    ro = np.asarray(ro)[:, : len(esc)]
+                    le = lens[esc]
+                    for si in range(self.n_shards):
+                        ids = self.song_map[si]
+                        real = ids >= 0
+                        out_max[np.ix_(esc, ids[real])] = (
+                            rb[si][:, real] / le[:, None]
+                        )
+                        out_time[np.ix_(esc, ids[real])] = (
+                            ro[si][:, real] - self.pad
+                        )
             return out_max, out_time
         if self.engine == "align":
             best, argoff = self._query_cache[key](

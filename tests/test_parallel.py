@@ -512,3 +512,48 @@ def test_sharded_screen_more_shards_than_songs():
     smax, stime = sdb.query_batch([q])
     assert np.isfinite(smax).all()
     assert int(np.argmax(smax[0])) == 2
+
+
+def test_sharded_screen_rescue_matches_align():
+    """Sharded stage-3 rescue: per-shard exhaustive rescore of escalated
+    queries over the SAME resident screen regions — answers equal the
+    sharded align engine's even when the coarse prune drops the winner
+    (screen_top_m=1 + heavy noise)."""
+    rng = np.random.default_rng(26)
+    db, counts, song_pos = make_db(rng, n_songs=24, min_len=16, max_len=30)
+    mesh = make_mesh("db", 4)
+    S = 10
+    qs, want = [], []
+    for b in range(6):
+        song = int(rng.integers(0, len(counts)))
+        off = int(rng.integers(0, counts[song] - S))
+        q = db[song_pos[song] + off : song_pos[song] + off + S].copy()
+        q += (0.46 if b % 2 else 0.1) * rng.standard_normal(
+            q.shape
+        ).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qs.append(q)
+        want.append(song)
+    ref = ShardedDatabase(db, counts, mesh, engine="align",
+                          db_dtype=jnp.float32, align_pad=16)
+    rmax, rtime = ref.query_batch(qs)
+    if [int(np.argmax(rmax[b])) for b in range(len(qs))] != want:
+        pytest.skip("exhaustive can't resolve this seed's noisy queries")
+
+    bare = ShardedDatabase(db, counts, mesh, engine="screen",
+                           db_dtype=jnp.float32, align_pad=16,
+                           screen_k=4, screen_top_m=1)
+    bmax, _ = bare.query_batch(qs)
+    assert [int(np.argmax(bmax[b])) for b in range(len(qs))] != want, (
+        "regime too easy: bare sharded screen already exact"
+    )
+
+    scr = ShardedDatabase(db, counts, mesh, engine="screen",
+                          db_dtype=jnp.float32, align_pad=16,
+                          screen_k=4, screen_top_m=1, screen_rescue=0.4)
+    smax, stime = scr.query_batch(qs)
+    for b in range(len(qs)):
+        top = int(np.argmax(smax[b]))
+        assert top == want[b]
+        np.testing.assert_allclose(smax[b, top], rmax[b, top], rtol=1e-5)
+        assert stime[b, top] == rtime[b, top]

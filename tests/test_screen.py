@@ -349,3 +349,91 @@ def test_screen_margin_telemetry_good_and_danger():
         logger.setLevel(level)
     assert any(r.levelname == "WARNING" and "danger zone" in r.getMessage()
                for r in records2)
+
+
+def test_screen_rescue_recovers_exhaustive():
+    """Stage-3 rescue (ACCURACY_r04): in the winner-dropping regime
+    (heavy noise + harsh prune) the unrescued screen returns wrong
+    answers; with rescue_threshold the low-best-score queries are
+    exhaustively rescored and every answer equals the align engine's.
+    Clean queries stay on the screened fast path (escalation counts only
+    the noisy traffic)."""
+    rng = np.random.default_rng(12)
+    emb, counts, song_pos = make_db(rng, n_songs=48, min_len=16)
+    S = 12
+    clean, clean_song, clean_off = noisy_queries(
+        rng, emb, counts, song_pos, n=8, S=S, noise=0.1
+    )
+    # noise=0.46 -> per-window true cosine ~1/sqrt(1+128*0.46^2) ~ 0.19:
+    # the documented winner-drop regime (module docstring) — the
+    # exhaustive 12-window sum still clears the impostor noise floor,
+    # but the pooled coarse stage at top_m=1 drops winners
+    noisy, noisy_song, noisy_off = noisy_queries(
+        rng, emb, counts, song_pos, n=16, S=S, noise=0.46
+    )
+    filters = np.concatenate([clean, noisy])
+    sub_lens = np.full(len(filters), S, np.int32)
+
+    full = AlignmentEngine(emb, counts, pad=16, score_dtype=jnp.float32,
+                           impl="xla")
+    fs, ft = full.search(filters, sub_lens)
+    want = [int(np.argmax(fs[b])) for b in range(len(filters))]
+    # the exhaustive engine substantially resolves this regime (the
+    # rescue contract is exhaustive-PARITY, not oracle accuracy)
+    gt = clean_song + noisy_song
+    assert sum(w == g for w, g in zip(want, gt)) >= len(gt) - 2
+
+    kw = dict(pad=16, k=4, top_m=1, score_dtype=jnp.float32,
+              impl="xla", backend="exact")
+    bare = ScreenedAlignmentEngine(emb, counts, **kw)
+    bs, _ = bare.search(filters, sub_lens)
+    bare_ans = [int(np.argmax(bs[b])) for b in range(len(filters))]
+    assert bare_ans != want, "regime too easy: bare screen already exact"
+
+    scr = ScreenedAlignmentEngine(emb, counts, rescue_threshold=0.4, **kw)
+    records, handler, logger, level = _capture_mp_logs()
+    logger.addHandler(handler)
+    try:
+        ss, st = scr.search(filters, sub_lens)
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(level)
+    # full answer/score/offset parity with the exhaustive engine
+    for b in range(len(filters)):
+        top = int(np.argmax(ss[b]))
+        assert top == want[b]
+        np.testing.assert_allclose(ss[b, top], fs[b, top], rtol=1e-5)
+        assert st[b, top] == ft[b, top]
+    # escalation covered the noisy queries but NOT the clean ones
+    msgs = [r.getMessage() for r in records if "screen rescue" in r.getMessage()]
+    assert msgs, "rescue log line missing"
+    n_esc = int(msgs[0].split("/")[0].split()[-1])
+    assert len(noisy) <= n_esc < len(filters)
+
+
+def test_screen_rescue_alpha_parity():
+    """Rescue under score_alpha: the escalated rescore must apply the
+    same exp transform + masking as the align engine's alpha path, and
+    the threshold maps through the monotone transform."""
+    rng = np.random.default_rng(13)
+    emb, counts, song_pos = make_db(rng, n_songs=12, d=32)
+    alpha = 1.5
+    full = AlignmentEngine(emb, counts, pad=8, score_dtype=jnp.float32,
+                           score_alpha=alpha)
+    scr = ScreenedAlignmentEngine(
+        emb, counts, pad=8, k=4, top_m=1, score_dtype=jnp.float32,
+        impl="xla", backend="exact", score_alpha=alpha,
+        rescue_threshold=0.99,  # alpha-mapped cut: escalate everything
+    )
+    S = 6
+    filters, want_song, _ = noisy_queries(
+        rng, emb, counts, song_pos, n=4, S=S, noise=0.3
+    )
+    sub_lens = np.full(len(filters), S, np.int32)
+    filters[1, 4:] = 0.0
+    sub_lens[1] = 4
+    fs, ft = full.search(filters, sub_lens)
+    ss, st = scr.search(filters, sub_lens)
+    # all escalated -> full-table equality with the exhaustive alpha path
+    np.testing.assert_allclose(ss, fs, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(st, ft)
