@@ -154,15 +154,19 @@ def main():
     if vt:
         lines += [
             "",
-            "## Screen tuning at SNR -6 (worst case; song top-1 %)",
+            "## Rescue robustness across screen knobs at SNR -6 (worst",
+            "case; song top-1 / exact %).  Every variant ran WITH the",
+            "production rescue default — harsher stage-1/2 settings only",
+            "shift work onto the rescue stage, they no longer cost",
+            "answers:",
             "",
         ]
         names = {
-            "screen8": "pool_k=8 (coarser stage 1)",
-            "screenm16": "top_m=16 (harder prune)",
-            "screeni8": "int8 coarse (double-rate MXU)",
+            "screen8": "pool_k=8 (coarser stage 1) + rescue",
+            "screenm16": "top_m=16 (harder prune) + rescue",
+            "screeni8": "int8 coarse (double-rate MXU) + rescue",
         }
-        rows = [["default (pool_k=4, top_m=32, f32)",
+        rows = [["bare screen (pool_k=4, top_m=32, f32, NO rescue)",
                  "%.2f" % screen[-6]["song_acc"],
                  "%.2f" % screen[-6]["exact_acc"]]]
         for tag, r in vt.items():
