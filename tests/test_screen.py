@@ -437,3 +437,31 @@ def test_screen_rescue_alpha_parity():
     # all escalated -> full-table equality with the exhaustive alpha path
     np.testing.assert_allclose(ss, fs, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(st, ft)
+
+
+def test_database_rescue_default_plumbing(tmp_path):
+    """Database serves screen_rescue=0.4 by default (the production
+    contract from ACCURACY_r04) and honors 0/false as an explicit
+    disable — at both the engine and config layer."""
+    import os
+
+    from pfann_tpu.index.database import Database, write_index_meta
+
+    rng = np.random.default_rng(5)
+    emb, counts, song_pos = make_db(rng, n_songs=6, d=32)
+    db_dir = str(tmp_path)
+    emb.tofile(os.path.join(db_dir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(db_dir, "landmarkKey"))
+    with open(os.path.join(db_dir, "songList.txt"), "w") as f:
+        f.writelines("song%d\n" % i for i in range(len(counts)))
+    write_index_meta(db_dir, emb.shape[1])
+
+    base = {"top_k": 5, "screen": True, "db_dtype": "float32",
+            "backend": "exact"}
+    db = Database(db_dir, base, hop_size=0.5)
+    assert db._align._rescue_tau == 0.4
+    db_off = Database(db_dir, {**base, "screen_rescue": 0}, hop_size=0.5)
+    assert db_off._align._rescue_tau is None
+    db_custom = Database(db_dir, {**base, "screen_rescue": 0.55},
+                         hop_size=0.5)
+    assert db_custom._align._rescue_tau == 0.55

@@ -39,7 +39,9 @@ def tag_results(tag, snrs=SNRS):
         pred = "out/results/%s_synth_snr%d_detail.csv" % (tag, snr)
         if not (os.path.exists(gt) and os.path.exists(pred)):
             continue
-        res[snr] = evaluate(gt, pred)
+        r = evaluate(gt, pred)
+        if r["total"]:  # skip in-flight/empty result files
+            res[snr] = r
     return res
 
 
