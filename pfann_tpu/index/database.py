@@ -127,10 +127,15 @@ class Database:
         engine = self.params.get("engine", "align")
         # screen: true | false | 'auto' (default) — auto upgrades the
         # exhaustive engine to the two-stage one once the DB is past the
-        # scale where the exhaustive scan falls under the 5k q/s target
+        # measured align/screen throughput crossover: at 20k tracks the
+        # exhaustive kernel still wins (19,963 vs 16,162 q/s/chip,
+        # BENCH_r04_db_rescued.json), at 100k the screen wins 5x
+        # (13,263 vs 2,651, BENCH_r03_scale.json) — the crossover sits
+        # near 30k songs, so auto keeps the recall-1.0-by-construction
+        # exhaustive engine until the screen actually pays for itself
         screen = self.params.get("screen", "auto")
         if engine == "align" and (
-            screen is True or (screen == "auto" and len(counts) >= 20_000)
+            screen is True or (screen == "auto" and len(counts) >= 30_000)
         ):
             engine = "screen"
         self.engine = engine
