@@ -465,3 +465,30 @@ def test_database_rescue_default_plumbing(tmp_path):
     db_custom = Database(db_dir, {**base, "screen_rescue": 0.55},
                          hop_size=0.5)
     assert db_custom._align._rescue_tau == 0.55
+
+
+def test_database_screen_auto_threshold(tmp_path):
+    """screen='auto' (the default) upgrades align->screen only past the
+    measured throughput crossover (~30k songs; align still wins at 20k —
+    BENCH_r04_db_rescued.json), and stays exhaustive below it."""
+    import os
+
+    from pfann_tpu.index.database import Database, write_index_meta
+
+    rng = np.random.default_rng(6)
+    for n_songs, want in ((29_999, "align"), (30_000, "screen")):
+        counts = np.full(n_songs, 2, dtype=np.int64)
+        emb = rng.standard_normal((counts.sum(), 8)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        db_dir = str(tmp_path / str(n_songs))
+        os.makedirs(db_dir)
+        emb.tofile(os.path.join(db_dir, "embeddings"))
+        counts.astype(np.int32).tofile(os.path.join(db_dir, "landmarkKey"))
+        with open(os.path.join(db_dir, "songList.txt"), "w") as f:
+            f.writelines("song%d\n" % i for i in range(n_songs))
+        write_index_meta(db_dir, emb.shape[1])
+        db = Database(
+            db_dir, {"top_k": 5, "db_dtype": "float32", "backend": "exact"},
+            hop_size=0.5,
+        )
+        assert db.engine == want, (n_songs, db.engine, want)
