@@ -560,7 +560,7 @@ def db_bench(db_dir: str) -> None:
     sanity had only ever been measured on synthetic embeddings).
 
     Loads <db_dir>/embeddings via Database (engine auto-selects: screen
-    at >= 20k songs), draws queries as real in-DB windows + noise, and
+    at >= 30k songs), draws queries as real in-DB windows + noise, and
     reports the slope-timed q/s for the auto engine AND the exhaustive
     align control on the same matrix."""
     import sys
@@ -642,8 +642,10 @@ def db_bench(db_dir: str) -> None:
             f += noise * r.standard_normal(f.shape).astype(np.float32)
             f /= np.linalg.norm(f, axis=2, keepdims=True)
             return f
-        batches = [noisy_batch(seed0 + i) for i in range(6)]
-        db._align.search(batches[0], sub_lens)  # warm compiles
+        batches = [noisy_batch(seed0 + i) for i in range(9)]
+        # warm compiles on a batch the measured runs never reuse (the
+        # relay caches identical-input executions)
+        db._align.search(noisy_batch(seed0 + 999), sub_lens)
 
         def run(M, at):
             t0 = time.time()
@@ -651,7 +653,7 @@ def db_bench(db_dir: str) -> None:
                 db._align.search(batches[at + j], sub_lens)
             return time.time() - t0
         lo = min(run(1, t) for t in range(3))
-        hi = run(3, 3)
+        hi = min(run(3, at) for at in (3, 6))
         sl = max((hi - lo) / 2, 1e-9)
         print("%s: %.1f q/s (host path)" % (label, B / sl), file=sys.stderr)
         return round(B / sl, 1)
@@ -716,7 +718,13 @@ def landmark_bench(n_songs: int = 64, seconds: float = 30.0) -> None:
     dev_in = [as_device_input(w.astype(np.float32) / 32768) for w in wavs]
     assert dev_in[0].dtype == np.int16
     ex = DevicePeakExtractor()
-    ex.extract(dev_in[: ex.batch])  # compile warm-up
+    # compile warm-up on DISTINCT songs of the measured batch size: the
+    # measured batches must never repeat warm-up bytes (the relay caches
+    # identical-input executions — an equal-length corpus keeps
+    # extract()'s stable sort in input order, so dev_in[:batch] would be
+    # byte-identical to call one), and the warm-up shape must match or
+    # the first measured call pays the compile instead
+    ex.extract([song(n_songs + i) for i in range(min(n_songs, ex.batch))])
     t0 = time.time()
     dev_peaks = ex.extract(dev_in)
     t_dev = time.time() - t0

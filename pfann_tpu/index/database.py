@@ -164,12 +164,14 @@ class Database:
             # song-sharded retrieval over all local devices (ICI mesh);
             # engine='screen' screens per shard (local coarse prune +
             # exact rescore, union of local top-M survivors)
+            from pfann_tpu.index.align import DEFAULT_PAD
             from pfann_tpu.parallel.mesh import make_mesh
             from pfann_tpu.parallel.sharded_search import ShardedDatabase
 
             self._sharded = ShardedDatabase(
                 emb, counts, make_mesh("db"), engine=engine,
                 db_dtype=np_dtype,
+                align_pad=self.align_pad or DEFAULT_PAD,
                 screen_k=int(self.params.get("screen_pool_k", 4)),
                 screen_top_m=int(self.params.get("screen_top_m", 32)),
                 screen_coarse_dtype=self.params.get("screen_coarse_dtype"),

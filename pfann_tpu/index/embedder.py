@@ -172,7 +172,15 @@ class Embedder:
         buf = np.zeros((B, L), np.int16 if all_i16 else np.float32)
         for b, s in enumerate(signals):
             n = min(s.shape[0], L)
-            buf[b, :n] = s[:n] if all_i16 else np.asarray(s[:n], np.float32)
+            if all_i16:
+                buf[b, :n] = s[:n]
+            elif s.dtype == np.int16:
+                # mixed batch rides the f32 carrier: rescale int16
+                # sources here (the device fn only divides when the
+                # whole buffer is int16)
+                buf[b, :n] = s[:n].astype(np.float32) / 32768.0
+            else:
+                buf[b, :n] = np.asarray(s[:n], np.float32)
         fn = self._songs_fn(B, L, hop)
         return fn(self.variables, jnp.asarray(buf)), list(counts)
 
@@ -208,16 +216,20 @@ class Embedder:
         pending: list[tuple[int, str, np.ndarray, int]] = []
         group_b = 0
 
-        def dispatch():
+        def dispatch(pin: bool = False):
             nonlocal group_b
             if not pending:
                 return
             tm = time.time()
-            if not group_b:
+            # pin the padded batch dim only from a FULL chunk-threshold
+            # dispatch: an early error/final flush of 1-3 songs must not
+            # lock every later call to that tiny batch (each device call
+            # pays a 60-150 ms fixed tunnel RTT)
+            if pin and not group_b:
                 group_b = len(pending)
             handle = self.embed_songs_device(
                 [p[2] for p in pending], [p[3] for p in pending], hop,
-                pad_b=group_b,
+                pad_b=group_b or None,
             )
             inflight.append((handle, list(pending)))
             pending.clear()
@@ -251,7 +263,7 @@ class Embedder:
                 if sum(p[3] for p in pending) >= self.chunk or (
                     group_b and len(pending) >= group_b
                 ):
-                    dispatch()
+                    dispatch(pin=True)
                 while len(inflight) > depth:
                     yield from drain()
             tm_decode = time.time()

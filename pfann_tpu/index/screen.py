@@ -37,10 +37,12 @@ noisy audio) screen recall == exhaustive == 100%; pushed to cosine
 128/128 while the screen's survivor set drops the winner 18% of the
 time — pooling sums the db's neighboring rows incoherently, so the
 coarse stage pays an SNR price for its k^2 work cut.  Round-4
-validation at the 20k-track auto-activation scale confirmed the regime
-on REAL embeddings: at SNR -6 the true song's coarse rank has a
-catastrophic tail (p99 = 8,907 of 20,030 — no affordable top_m
-recovers it; tools/screen_rank_diag.py, ACCURACY_r04.md).
+validation on a 20k-track REAL-embedding DB confirmed the regime: at
+SNR -6 the true song's coarse rank has a catastrophic tail (p99 =
+8,907 of 20,030 — no affordable top_m recovers it;
+tools/screen_rank_diag.py, ACCURACY_r04.md).  The auto-upgrade from
+the exhaustive engine now sits at 30k songs — the measured
+align/screen throughput crossover (index/database.py).
 
   Stage 3 (rescue, the fix): a query whose best EXACT stage-2 score
     falls below ``rescue_threshold`` (mean-IP units, default 0.4) is

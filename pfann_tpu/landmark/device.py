@@ -163,7 +163,15 @@ class DevicePeakExtractor:
         buf = np.zeros((B, L), np.int16 if all_i16 else np.float32)
         valid = np.zeros(B, np.int32)
         for b, (_, w, nf) in enumerate(chunk):
-            buf[b, : w.shape[0]] = w if all_i16 else w.astype(np.float32)
+            if all_i16:
+                buf[b, : w.shape[0]] = w
+            elif w.dtype == np.int16:
+                # mixed chunk rides the f32 carrier: rescale int16
+                # sources here (the device fn only divides when the
+                # whole buffer is int16)
+                buf[b, : w.shape[0]] = w.astype(np.float32) / 32768.0
+            else:
+                buf[b, : w.shape[0]] = w.astype(np.float32)
             valid[b] = nf
         key = (Tb, B)
         if key not in self._jit_cache:

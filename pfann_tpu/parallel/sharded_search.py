@@ -109,22 +109,30 @@ class ShardedDatabase:
         self.top_k = top_k
         self.frame_shift_mul = frame_shift_mul
         self.score_alpha = score_alpha
+        if score_alpha and engine in ("align", "screen"):
+            # the sharded align/screen shard_map bodies don't plumb the
+            # alpha row/query masks (zero padding rows would score
+            # exp(-alpha) > 0), so scores — and the screen's rescue cut —
+            # would silently be in the wrong units.  Database routes
+            # alpha to the single-device fast engines, which are
+            # alpha-exact (index/align.py, screen stage 2 + rescue).
+            raise ValueError(
+                "score_alpha != 0 is not supported by the sharded %s "
+                "engine; use the single-device engine (Database does "
+                "this automatically) or engine='topk'" % engine
+            )
         if backend == "auto":
             backend = "approx" if jax.default_backend() == "tpu" else "exact"
         self.backend = backend
         self.engine = engine
         # stage-3 exhaustive rescue cut for the screen engine (same
-        # semantics and default as ScreenedAlignmentEngine: a query whose
-        # best exact survivor MEAN score lands below this is rescored
-        # against the full per-shard layouts; score_alpha's monotone exp
-        # transform is applied to the cut when alpha != 0)
-        self.rescue_tau = None
-        if engine == "screen" and screen_rescue:
-            t = float(screen_rescue)
-            self.rescue_tau = (
-                float(np.exp(-score_alpha * (1.0 - t) ** 2))
-                if score_alpha else t
-            )
+        # mean-IP semantics and default as ScreenedAlignmentEngine: a
+        # query whose best exact survivor MEAN score lands below this is
+        # rescored against the full per-shard layouts)
+        self.rescue_tau = (
+            float(screen_rescue)
+            if engine == "screen" and screen_rescue else None
+        )
         # align-engine kernel choice: the fused Pallas kernel on TPU (the
         # round-1 single-chip headline path — the XLA variant is ~4x
         # slower at serving batch sizes), XLA elsewhere.  interpret=True

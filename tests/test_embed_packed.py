@@ -62,6 +62,21 @@ def test_packed_matches_host_unfold(embedder):
         np.testing.assert_allclose(zp, zh, atol=2e-5)
 
 
+def test_packed_mixed_dtype_batch(embedder):
+    """A batch mixing int16 (exact-WAV) and float32 (resampled) songs
+    rides the f32 carrier — the int16 ones must be rescaled on host
+    (regression: they were written raw, embedding at 32768x amplitude)."""
+    hop = 500
+    sigs = [_sig(10, 2.0), _sig(11, 2.5)]
+    counts = [(s.shape[0] - 1000) // hop + 1 for s in sigs]
+    i16 = int16_if_exact(sigs[0])
+    assert i16.dtype == np.int16
+    mixed = embedder.embed_songs([i16, sigs[1]], counts, hop)
+    pure = embedder.embed_songs(sigs, counts, hop)
+    for a, b in zip(mixed, pure):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_packed_pad_b_reuses_shape(embedder):
     hop = 500
     sigs = [_sig(3, 2.0), _sig(4, 2.0)]
@@ -73,6 +88,42 @@ def test_packed_pad_b_reuses_shape(embedder):
     assert len(tail) == 2
     for a, b in zip(full, tail):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_embed_stream_error_flush_keeps_batching(embedder, monkeypatch):
+    """An early decode error flushes pending songs in list order but must
+    NOT pin the dispatch batch size to the tiny flush (regression: every
+    later call then went out 1-2 songs at a time — thousands of extra
+    fixed-cost tunnel RTTs on a real build)."""
+    hop = 500
+    sigs = {i: _sig(20 + i, 3.0) for i in (0, 2, 3, 4, 5)}  # 5 windows each
+    items = [(0, "a", sigs[0], 5), (1, "broken", None, 0)] + [
+        (i, "s%d" % i, sigs[i], 5) for i in (2, 3, 4, 5)
+    ]
+
+    class FakeDataset:
+        def iterate_raw(self, num_workers=4, prefetch=8):
+            yield from items
+
+    calls = []
+    real = embedder.embed_songs_device
+
+    def spy(signals, counts, hop_, pad_b=None):
+        calls.append((len(signals), pad_b))
+        return real(signals, counts, hop_, pad_b=pad_b)
+
+    monkeypatch.setattr(embedder, "embed_songs_device", spy)
+    monkeypatch.setattr(embedder, "chunk", 10)  # threshold = 2 songs
+    got = list(embedder.embed_stream(FakeDataset(), hop, num_workers=1))
+    assert [g[0] for g in got] == [0, 1, 2, 3, 4, 5]
+    assert got[1][2].shape == (0, embedder.d)  # error row in order
+    # flush of [song 0] (1 song, unpinned), then two pinned 2-song
+    # dispatches — NOT four 1-song dispatches pinned by the flush
+    assert calls == [(1, None), (2, 2), (2, 2)]
+    for i in (0, 2, 3, 4, 5):
+        want = embedder.embed_songs([sigs[i]], [5], hop)[0]
+        np.testing.assert_allclose(got[[0, 1, 2, 3, 4, 5].index(i)][2],
+                                   want, atol=1e-5)
 
 
 def test_can_pack():

@@ -65,6 +65,20 @@ def test_int16_input_matches_float():
     assert as_device_input(f * 0.7071067).dtype == np.float32
 
 
+def test_mixed_dtype_chunk_rescales_int16():
+    """An int16 wav sharing a chunk with a float32 wav must be rescaled
+    on host (regression: it was cast raw, shifting the spectrogram by
+    log(32768) — the shift cancels through the median gate EXCEPT near
+    the log epsilon floor, so quiet signals changed peaks)."""
+    w = 1e-3 / 0.6 * _song(4, 2.0)  # quiet: int16 range ~ +-32
+    q = (np.clip(w, -1, 1) * 32767).astype(np.int16)
+    f = q.astype(np.float32) / 32768
+    ref = core.find_peaks(core.spectrogram(f))
+    ex = DevicePeakExtractor(batch=2)
+    mixed, _ = ex.extract([q, _song(5, 2.0)])  # int16 + float32 chunk
+    assert np.array_equal(mixed, ref)
+
+
 def test_build_with_extractor_matches_host(tmp_path):
     wavs = [_song(5, 2.0), _song(6, 2.0), _song(7, 2.0)]
     host = core.LandmarkIndex.build(iter(wavs), song_list=["a", "b", "c"])

@@ -343,6 +343,46 @@ def test_database_sharded_flag(tmp_path):
         np.testing.assert_allclose(got[2][:, 0], want[2][:, 0], rtol=1e-4, atol=1e-5)
 
 
+def test_database_sharded_align_pad_plumbed(tmp_path):
+    """indexer align_pad must reach the sharded engine (regression: it
+    stayed at the default 32, so long queries the knob exists to serve
+    fell to the topk fallback while the warning recommended the knob)."""
+    from pfann_tpu.index.database import Database, write_index_meta
+
+    rng = np.random.default_rng(11)
+    db, counts, song_pos = make_db(rng, n_songs=10, d=8)
+    dbdir = str(tmp_path / "db")
+    import os
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("s%d\n" % i for i in range(10)))
+    write_index_meta(dbdir, d=8)
+
+    common = {"top_k": 5, "db_dtype": "float32", "engine": "align",
+              "sharded": True, "align_pad": 48}
+    d_sh = Database(dbdir, common, hop_size=0.5)
+    assert d_sh._sharded is not None
+    assert d_sh._sharded.pad == 48
+    assert d_sh._use_align(40)  # 32 < 40 <= 48: stays on the fast engine
+
+
+def test_sharded_fast_engines_reject_alpha():
+    """score_alpha is only exact on the single-device fast engines (the
+    sharded shard_map bodies don't plumb the alpha masks); constructing
+    the sharded align/screen engine with alpha must fail loudly instead
+    of scoring in the wrong units (and exp-transforming the rescue cut
+    for a transform stage 2 never applies)."""
+    rng = np.random.default_rng(12)
+    db, counts, _ = make_db(rng, n_songs=8, d=8)
+    mesh = make_mesh("db", jax.device_count())
+    for engine in ("align", "screen"):
+        with pytest.raises(ValueError, match="score_alpha"):
+            ShardedDatabase(db, counts, mesh, engine=engine,
+                            db_dtype=jnp.float32, score_alpha=2.0)
+
+
 def test_database_sharded_fsm2(tmp_path):
     from pfann_tpu.index.database import Database, write_index_meta
     import os
