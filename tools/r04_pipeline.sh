@@ -2,7 +2,9 @@
 # Round-4 screened-engine validation pipeline (VERDICT r3 next #1):
 # build the 20,030-track DB from the v2 family corpus, extract the 8 SNR
 # query sets' embeddings ONCE (extractemb), then match them through (a)
-# the auto-activated screen engine, (b) an exhaustive align control
+# the screen engine (forced via {"screen": true} — since the auto
+# threshold moved to 30k songs this 20k DB defaults to align), (b) an
+# exhaustive align control
 # sharing the same embeddings (symlinked variant), and (c) screen-tuning
 # variants (pool_k / top_m / int8 coarse) — per-SNR accuracy for each.
 # Assumes out/models/synth is trained and out/queries/synth_snr* exist.
@@ -26,11 +28,11 @@ step make align-control + screen-tuning variants
 python tools/make_variant_db.py out/dbs/synth_synth out/dbs/alignctl_synth \
   '{"screen": false}'
 python tools/make_variant_db.py out/dbs/synth_synth out/dbs/screen8_synth \
-  '{"screen_pool_k": 8}'
+  '{"screen": true, "screen_pool_k": 8}'
 python tools/make_variant_db.py out/dbs/synth_synth out/dbs/screenm16_synth \
-  '{"screen_top_m": 16}'
+  '{"screen": true, "screen_top_m": 16}'
 python tools/make_variant_db.py out/dbs/synth_synth out/dbs/screeni8_synth \
-  '{"screen_coarse_dtype": "int8"}'
+  '{"screen": true, "screen_coarse_dtype": "int8"}'
 
 step extract query embeddings once per SNR set
 for snr in $SNRS; do
@@ -47,13 +49,16 @@ match_all() {  # $1 = db tag
   done
 }
 
+step make the screen-forced primary variant
+python tools/make_variant_db.py out/dbs/synth_synth out/dbs/screenforce_synth \
+  '{"screen": true}'
 step match screen engine
-match_all synth
+match_all screenforce
 step match align control
 match_all alignctl
 
 step accuracy
-for tag in synth alignctl; do
+for tag in screenforce alignctl; do
   for snr in $SNRS; do
     echo "model=$tag snr=$snr"
     python tools/accuracy.py "out/queries/synth_snr${snr}/expected.csv" \
@@ -72,4 +77,5 @@ done
 
 step db throughput artifact
 python bench.py --db out/dbs/synth_synth | tail -1 | tee BENCH_r04_db.json
+python bench.py --db out/dbs/screenforce_synth | tail -1 | tee BENCH_r04_db_rescued.json
 step done

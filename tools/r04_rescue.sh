@@ -9,6 +9,12 @@ SNRS="-6 -4 -2 0 2 4 6 8"
 
 step() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
+# force the screen engine: since the auto threshold moved to 30k songs
+# this 20k DB would otherwise serve the exhaustive align engine, making
+# the rescue table a trivial control-vs-control comparison
+python tools/make_variant_db.py out/dbs/synth_synth out/dbs/rescued_synth \
+  '{"screen": true, "screen_rescue": 0.4}'
+
 for snr in $SNRS; do
   step "rescued snr $snr"
   python matchemb.py --batch 128 "out/qemb/synth_snr${snr}" \
