@@ -185,3 +185,61 @@ def test_empty_db(tmp_path):
         np.zeros((3, 8), np.float32)
     )
     assert ans == -1 and song_score.shape == (0, 2)
+
+
+def test_merge_dbs(tmp_path):
+    """tools/merge_dbs.py: shard concatenation preserves the DB-dir
+    contract — the merged Database answers queries from every shard at
+    the right (song, offset), and refuses mismatched dims."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.merge_dbs import merge_dbs
+
+    rng = np.random.default_rng(6)
+    shards, embs, poss = [], [], []
+    for k, n_songs in enumerate((4, 3)):
+        db, song_pos = make_db(rng, n_songs=n_songs, d=8)
+        sdir = str(tmp_path / ("shard%d" % k))
+        os.makedirs(sdir)
+        db.tofile(os.path.join(sdir, "embeddings"))
+        np.diff(song_pos).astype(np.int32).tofile(
+            os.path.join(sdir, "landmarkKey"))
+        with open(os.path.join(sdir, "songList.txt"), "w") as f:
+            f.write("".join("sh%d_%d.wav\n" % (k, i)
+                            for i in range(n_songs)))
+        write_index_meta(sdir, d=8)
+        if k == 0:
+            with open(os.path.join(sdir, "configs.json"), "w") as f:
+                json.dump({"indexer": {"top_k": 4}}, f)
+        shards.append(sdir)
+        embs.append(db)
+        poss.append(song_pos)
+
+    out = str(tmp_path / "merged")
+    info = merge_dbs(out, shards)
+    assert info["n_songs"] == 7
+    assert info["ntotal"] == embs[0].shape[0] + embs[1].shape[0]
+    assert os.path.exists(os.path.join(out, "configs.json"))
+
+    database = Database(out, {"top_k": 4, "backend": "exact"}, hop_size=0.5)
+    assert database.songList[:2] == ["sh0_0.wav", "sh0_1.wav"]
+    assert database.songList[-1] == "sh1_2.wav"
+    # query a song from each shard: shard-1 songs are re-numbered 4..6
+    q0 = embs[0][poss[0][2] + 1 : poss[0][2] + 6]
+    q1 = embs[1][poss[1][1] + 2 : poss[1][1] + 7]
+    outs = database.query_embeddings_batch([q0, q1])
+    assert outs[0][1][0] == 2
+    assert outs[1][1][0] == 4 + 1
+    assert outs[0][1][1] == pytest.approx(0.5)
+    assert outs[1][1][1] == pytest.approx(1.0)
+
+    # dim mismatch refused
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    np.zeros((4, 16), np.float32).tofile(os.path.join(bad, "embeddings"))
+    np.full(1, 4, np.int32).tofile(os.path.join(bad, "landmarkKey"))
+    with open(os.path.join(bad, "songList.txt"), "w") as f:
+        f.write("x.wav\n")
+    write_index_meta(bad, d=16)
+    with pytest.raises(AssertionError, match="dim mismatch"):
+        merge_dbs(str(tmp_path / "m2"), [shards[0], bad])
