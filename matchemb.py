@@ -9,7 +9,14 @@ CLI parity with reference matchemb.py:16-85:
 Database.query_embeddings_batch — the reference loops one faiss search
 per query (matchemb.py:61-76); batching amortizes the per-call host
 sync (~60-150 ms on a tunneled chip) and the DB HBM reads, which is
-what makes embed-once/match-many index sweeps cheap."""
+what makes embed-once/match-many index sweeps cheap.
+
+Multi-sweep mode (one DB load + layout stage for many query sets —
+the matchemb analogue of ``matcher.py --pairs``; an 8-SNR evaluation
+pays the DB staging once instead of 8 process startups):
+    python matchemb.py [--batch N] --pairs <database dir> \\
+        <emb dir 1> <result 1> [<emb dir 2> <result 2> ...]
+"""
 
 import csv
 import os
@@ -26,29 +33,13 @@ from pfann_tpu.index.database import Database
 from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config, read_file_list
 
 
-def main() -> None:
-    MultiProcessInitLogger("matchemb")()
+def match_set(db: Database, d: int, dir_for_query: str, result_file: str,
+              batch: int) -> None:
+    """Match one extracted query-embedding dir; writes the TSV +
+    _detail.csv + .bin result contract."""
     logger = get_logger()
-    argv = list(sys.argv)
-    batch = 128
-    if "--batch" in argv:
-        at = argv.index("--batch")
-        batch = int(argv[at + 1])
-        del argv[at : at + 2]
-    if len(argv) < 4 or batch < 1:
-        print("Usage: python %s [--batch N] <query embedding dir>"
-              " <database dir> <result file>" % argv[0])
-        sys.exit()
-    dir_for_query, dir_for_db, result_file = argv[1:4]
     result_file2 = os.path.splitext(result_file)[0] + "_detail.csv"
-    params = read_config(os.path.join(dir_for_db, "configs.json"))
     file_list = read_file_list(os.path.join(dir_for_query, "queryList.txt"))
-    logger.info("command args: %s", sys.argv)
-
-    d = params["model"]["d"]
-    print("loading database...")
-    db = Database(dir_for_db, params["indexer"], params["hop_size"])
-    print("database loaded")
 
     print("loading queries")
     query_embeddings = np.fromfile(
@@ -96,6 +87,48 @@ def main() -> None:
             fout2.flush()
             logger.info("matchemb batch %d+%d", at, len(chunk))
     logger.info("total query time %.6fs", time.time() - tm_0)
+
+
+def main() -> None:
+    MultiProcessInitLogger("matchemb")()
+    logger = get_logger()
+    argv = list(sys.argv)
+    batch = 128
+    if "--batch" in argv:
+        at = argv.index("--batch")
+        batch = int(argv[at + 1])
+        del argv[at : at + 2]
+    pairs_mode = "--pairs" in argv
+    if pairs_mode:
+        argv.remove("--pairs")
+    usage = ("Usage: python %s [--batch N] <query embedding dir>"
+             " <database dir> <result file>\n"
+             "       python %s [--batch N] --pairs <database dir>"
+             " <emb dir> <result> [<emb dir> <result> ...]"
+             % (argv[0], argv[0]))
+    if pairs_mode:
+        if len(argv) < 4 or len(argv) % 2 != 0 or batch < 1:
+            print(usage)
+            sys.exit()
+        dir_for_db = argv[1]
+        jobs = list(zip(argv[2::2], argv[3::2]))
+    else:
+        if len(argv) < 4 or batch < 1:
+            print(usage)
+            sys.exit()
+        dir_for_query, dir_for_db, result_file = argv[1:4]
+        jobs = [(dir_for_query, result_file)]
+    logger.info("command args: %s", sys.argv)
+    params = read_config(os.path.join(dir_for_db, "configs.json"))
+
+    d = params["model"]["d"]
+    print("loading database...")
+    db = Database(dir_for_db, params["indexer"], params["hop_size"])
+    print("database loaded")
+
+    for dir_for_query, result_file in jobs:
+        logger.info("matchemb sweep: %s -> %s", dir_for_query, result_file)
+        match_set(db, d, dir_for_query, result_file, batch)
 
 
 if __name__ == "__main__":

@@ -390,6 +390,19 @@ def test_extractemb_matchemb_pipeline(db_and_model, corpus, tmp_path):
     got = [line.split("\t")[1].strip() for line in open(result)]
     assert got == answers
 
+    # --pairs multi-sweep: one DB load, several query sets (here the
+    # same set twice) — answers identical to the single-set run
+    r1, r2 = str(tmp_path / "p1.txt"), str(tmp_path / "p2.txt")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "matchemb.py"), "--pairs",
+         db_dir, emb_dir, r1, emb_dir, r2],
+        check=True, env=env, cwd=REPO,
+    )
+    for r in (r1, r2):
+        assert [line.split("\t")[1].strip() for line in open(r)] == answers
+        assert os.path.exists(os.path.splitext(r)[0] + "_detail.csv")
+        assert os.path.exists(r + ".bin")
+
 
 def test_rebuild_and_matchfromgt_cli(db_and_model, corpus, tmp_path):
     """rebuild rewrites index_meta consistently; matchfromgt scores a

@@ -37,17 +37,19 @@ python tools/merge_dbs.py out/dbs/synth30k \
 python tools/make_variant_db.py out/dbs/synth30k out/dbs/alignctl30k \
   '{"screen": false}'
 
-step match auto engine per SNR
+step match auto engine per SNR - one DB load for all sweeps
+PAIRS=""
 for snr in $SNRS; do
-  python matchemb.py --batch 128 "out/qemb/synth_snr${snr}" \
-    out/dbs/synth30k "out/results/synth30k_snr${snr}.txt"
+  PAIRS="$PAIRS out/qemb/synth_snr${snr} out/results/synth30k_snr${snr}.txt"
 done
+python matchemb.py --batch 128 --pairs out/dbs/synth30k $PAIRS
 
 step match align control per SNR
+PAIRS=""
 for snr in $SNRS; do
-  python matchemb.py --batch 128 "out/qemb/synth_snr${snr}" \
-    out/dbs/alignctl30k "out/results/alignctl30k_snr${snr}.txt"
+  PAIRS="$PAIRS out/qemb/synth_snr${snr} out/results/alignctl30k_snr${snr}.txt"
 done
+python matchemb.py --batch 128 --pairs out/dbs/alignctl30k $PAIRS
 
 step accuracy
 for tag in synth30k alignctl30k; do
