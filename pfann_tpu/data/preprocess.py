@@ -59,11 +59,30 @@ def cache_path(cache_dir: str, list_csv: str) -> str:
 
 def ensure_music_cache(params: dict, train_val: str, num_workers: int = 4) -> str:
     """Build the cache if missing; returns the path prefix
-    (dataset_v2.py:74-80)."""
+    (dataset_v2.py:74-80).
+
+    The cache name is keyed by the csv BASENAME only (reference byte
+    contract), so two corpora whose lists share a basename would collide
+    silently; guard by comparing the cached song count against the csv
+    row count and rebuilding on mismatch (the reference has the same
+    footgun with no guard)."""
     cache_dir = params["cache_dir"]
     os.makedirs(cache_dir, exist_ok=True)
-    prefix = cache_path(cache_dir, params[train_val + "_csv"])
+    list_csv = params[train_val + "_csv"]
+    prefix = cache_path(cache_dir, list_csv)
     if os.path.exists(prefix + ".npy"):
+        with open(list_csv) as fin:
+            n_rows = sum(1 for _ in csv.reader(fin)) - 1
+        if np.load(prefix + ".npy").shape[0] != n_rows:
+            print(
+                "cached %s.bin holds a different corpus (%s basename "
+                "collision) - rebuilding" % (prefix, list_csv)
+            )
+            preprocess_music(
+                params["music_dir"], list_csv, params["sample_rate"],
+                prefix, num_workers=num_workers,
+            )
+            return prefix
         print("load cached music from %s.bin" % prefix)
     else:
         preprocess_music(

@@ -163,15 +163,22 @@ class DevicePeakExtractor:
         buf = np.zeros((B, L), np.int16 if all_i16 else np.float32)
         valid = np.zeros(B, np.int32)
         for b, (_, w, nf) in enumerate(chunk):
+            # clip to the bucketed buffer: when Tb == nf exactly (max
+            # frame count on the bucket boundary) a signal with
+            # remainder samples past its last complete frame is longer
+            # than L; those samples never belong to a complete frame,
+            # so dropping them preserves peak parity (same clip as
+            # Embedder.embed_songs_device, embedder.py:174)
+            n = min(w.shape[0], L)
             if all_i16:
-                buf[b, : w.shape[0]] = w
+                buf[b, :n] = w[:n]
             elif w.dtype == np.int16:
                 # mixed chunk rides the f32 carrier: rescale int16
                 # sources here (the device fn only divides when the
                 # whole buffer is int16)
-                buf[b, : w.shape[0]] = w.astype(np.float32) / 32768.0
+                buf[b, :n] = w[:n].astype(np.float32) / 32768.0
             else:
-                buf[b, : w.shape[0]] = w.astype(np.float32)
+                buf[b, :n] = w[:n].astype(np.float32)
             valid[b] = nf
         key = (Tb, B)
         if key not in self._jit_cache:

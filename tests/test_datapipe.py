@@ -78,6 +78,36 @@ def test_cache_is_reference_format(pipeline_root):
     assert data.shape[0] == lens.sum()
 
 
+def test_cache_basename_collision_rebuilds(pipeline_root, tmp_path):
+    """Two corpora whose list csvs share a basename collide on the
+    reference cache name; the song-count guard must rebuild instead of
+    serving the stale corpus (round-5 fix: a 2,000-song corpus silently
+    trained on a cached 60-song one)."""
+    import shutil
+
+    from pfann_tpu.audio.io import write_wav
+    from pfann_tpu.data.preprocess import ensure_music_cache
+
+    ensure_music_cache(pipeline_root, "train")  # 4-song cache in place
+    other = tmp_path / "other"
+    (other / "music").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):  # DIFFERENT song count, same csv basename
+        write_wav(str(other / "music" / f"o{i}.wav"),
+                  (rng.random(8000 * 2, dtype=np.float32) - 0.5), 8000)
+        rows.append(f"o{i}.wav")
+    csv_path = other / os.path.basename(pipeline_root["train_csv"])
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file"])
+        w.writerows([[r] for r in rows])
+    cfg = dict(pipeline_root, train_csv=str(csv_path),
+               music_dir=str(other / "music"))
+    prefix = ensure_music_cache(cfg, "train")
+    assert np.load(prefix + ".npy").shape == (6,)
+
+
 @pytest.mark.slow
 def test_train_on_real_pipeline(pipeline_root, tmp_path):
     """slow: full Trainer.fit on the real pipeline (~80 s single-core);

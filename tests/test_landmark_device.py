@@ -105,3 +105,20 @@ def test_long_signal_buckets():
     dev = ex.extract(wavs)
     for i, w in enumerate(wavs):
         assert np.array_equal(dev[i], core.find_peaks(core.spectrogram(w)))
+
+
+def test_bucket_boundary_with_remainder_samples():
+    # ADVICE r4 high: frame count an EXACT multiple of the 64-frame
+    # bucket (Tb == nf) plus remainder samples past the last complete
+    # frame made the signal longer than the bucketed buffer and the
+    # fill raised ValueError.  nf = 64 needs len in [17152, 17407];
+    # 17252 is the reported repro (100 remainder samples).
+    n = 1024 + 63 * 256 + 100  # == 17252, nf == 64 == bucket
+    w = _song(11, (n + 1) / 8000.0)[:n]
+    assert 1 + (w.shape[0] - 1024) // 256 == 64
+    ex = DevicePeakExtractor(batch=2)
+    for wav in (w, (np.clip(w, -1, 1) * 32767).astype(np.int16)):
+        dev = ex.extract([wav])
+        f32 = wav.astype(np.float32) / 32768 if wav.dtype == np.int16 else wav
+        ref = core.find_peaks(core.spectrogram(f32))
+        assert np.array_equal(dev[0], ref)
