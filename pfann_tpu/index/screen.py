@@ -409,8 +409,12 @@ class ScreenedAlignmentEngine:
         # scored below 0.35 while true alignments score >= ~0.45
         # (ACCURACY_r04.md), so the fixed default recovers exhaustive
         # answers exactly, at 8-40% escalation depending on noise.
-        # None/0 disables.  With score_alpha the same cut maps through
-        # the monotone exp transform.
+        # None/0 disables.  With score_alpha the cut is mapped through
+        # the per-window exp transform — an APPROXIMATION of the mean-IP
+        # cut (the monotone transform does not commute with the mean
+        # over windows); rescue parity was validated at alpha=0, and the
+        # alpha path's tau should be calibrated separately if exactness
+        # matters there.
         self.rescue_threshold = rescue_threshold or None
         self._rescue_tau = None
         if self.rescue_threshold is not None:
@@ -570,19 +574,24 @@ class ScreenedAlignmentEngine:
         self._fns[key] = fn
         return fn
 
+    def _rescue_chunk(self, S: int) -> int:
+        """Rescue dispatch width: memory guard mirroring
+        AlignmentEngine.SCORE_BYTES_CAP for the XLA impl's materialized
+        [N, S, B] score tensor."""
+        mb = self.RESCUE_CHUNK
+        if self.impl != "pallas" or self.score_alpha != 0.0:
+            itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
+            per_b = self.n_pad * self.R * S * itemsize
+            mb = max(1, min(mb, (4 << 30) // max(per_b, 1)))
+        return mb
+
     def _rescue(self, filters, sub_lens, esc: np.ndarray):
         """Exhaustively rescore the escalated queries (rows ``esc`` of
         ``filters``); returns (best [len(esc), n_songs] summed score,
         argoff [len(esc), n_songs])."""
         S = filters.shape[1]
         fn = self._rescue_fn(S)
-        # memory guard mirroring AlignmentEngine.SCORE_BYTES_CAP for the
-        # XLA impl's materialized [N, S, B] score tensor
-        mb = self.RESCUE_CHUNK
-        if self.impl != "pallas" or self.score_alpha != 0.0:
-            itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
-            per_b = self.n_pad * self.R * S * itemsize
-            mb = max(1, min(mb, (4 << 30) // max(per_b, 1)))
+        mb = self._rescue_chunk(S)
         bests, offs = [], []
         for i in range(0, len(esc), mb):
             take = esc[i : i + mb]
@@ -599,6 +608,104 @@ class ScreenedAlignmentEngine:
             bests.append(np.asarray(b)[: len(take), : self.n_songs])
             offs.append(np.asarray(o)[: len(take), : self.n_songs])
         return np.concatenate(bests), np.concatenate(offs)
+
+    def _top1_finalize_fn(self):
+        """Jitted (best [B, n_pad], argoff [B, n_pad]) -> top-1 triple
+        (song int32, score_sum f32, t f32); padding slots masked out so
+        the full [B, n_pad] rescue table never leaves the device."""
+        key = "rescue_top1_fin"
+        if key in self._fns:
+            return self._fns[key]
+        n_songs, pad = self.n_songs, self.pad
+
+        @jax.jit
+        def fin(best, argoff):
+            best = jnp.where(
+                jnp.arange(best.shape[1])[None, :] < n_songs, best, -jnp.inf
+            )
+            song = jnp.argmax(best, axis=1)
+            take = jax.vmap(lambda b, o, s: (b[s], o[s]))(best, argoff, song)
+            return (
+                song.astype(jnp.int32),
+                take[0].astype(jnp.float32),
+                (take[1] - pad).astype(jnp.float32),
+            )
+
+        self._fns[key] = fin
+        return fin
+
+    def rescue_top1_device(self, filters, esc: np.ndarray, sub_lens=None):
+        """Stage-3 rescue for the SERVING path: exhaustively rescore the
+        escalated rows ``esc`` of ``filters`` against the full resident
+        layout and finalize top-1 ON DEVICE — only [chunk]-sized triples
+        ever cross to the host, never a [B, n_songs] table.  Returns a
+        list of (song, score_sum, t) device triples whose concatenation
+        covers >= len(esc) rows (callers slice to len(esc))."""
+        S = filters.shape[1]
+        fn = self._rescue_fn(S)
+        fin = self._top1_finalize_fn()
+        mb = self._rescue_chunk(S)
+        fdev = jnp.asarray(filters)  # no-op for device-resident queries
+        outs = []
+        for i in range(0, len(esc), mb):
+            take = np.asarray(esc[i : i + mb], dtype=np.int64)
+            idx = np.zeros(mb, np.int64)
+            idx[: len(take)] = take  # tail pads re-score row 0 (sliced off)
+            chunk = jnp.take(fdev, jnp.asarray(idx), axis=0)
+            q_valid = None
+            if self.score_alpha != 0.0:
+                lens = np.zeros(mb, np.int32)
+                lens[: len(take)] = (
+                    np.full(len(take), S, np.int32) if sub_lens is None
+                    else np.asarray(sub_lens)[take]
+                )
+                q_valid = jnp.asarray(
+                    (np.arange(S)[:, None] < lens[None, :]).astype(np.float32)
+                )
+            b, o = fn(self._db3, chunk, self._row_valid, q_valid)
+            outs.append(fin(b, o))
+        return outs
+
+    def search_top1(self, qpad, sub_lens=None):
+        """RESCUED top-1 serving: the fast stages 1+2 answer every query,
+        then queries whose best exact score falls below the rescue cut
+        are exhaustively rescored (stage 3) with an on-device top-1
+        finalize — so the returned answers equal ``search()``'s (and
+        hence the exhaustive engine's) even in the winner-dropping
+        regime, while the D2H stays [B]-sized.  Returns host
+        (song [B] int32, score_sum [B] f32, t [B] f32).  sub_lens
+        defaults to S (full-length serving queries)."""
+        B, S, _ = qpad.shape
+        outs = self.search_top1_device(qpad)
+        song = np.concatenate([np.asarray(o[0]) for o in outs])[:B]
+        best = np.concatenate([np.asarray(o[1]) for o in outs])[:B]
+        t = np.concatenate([np.asarray(o[2]) for o in outs])[:B]
+        best = best.astype(np.float32)
+        if self._rescue_tau is None or not self.n_songs:
+            return song, best, t
+        lens = (
+            np.full(B, S, np.int32) if sub_lens is None
+            else np.asarray(sub_lens)
+        )
+        mean = best / np.maximum(lens, 1)
+        esc = np.nonzero((mean < self._rescue_tau) & (lens > 0))[0]
+        if len(esc):
+            from pfann_tpu.utils.logging import get_logger
+
+            get_logger().info(
+                "screen top-1 rescue: %d/%d queries below tau=%.3f "
+                "rescored exhaustively", len(esc), B, self._rescue_tau,
+            )
+            triples = self.rescue_top1_device(qpad, esc, sub_lens=lens)
+            rs = np.concatenate([np.asarray(tr[0]) for tr in triples])
+            rb = np.concatenate([np.asarray(tr[1]) for tr in triples])
+            rt = np.concatenate([np.asarray(tr[2]) for tr in triples])
+            song = np.array(song, copy=True)
+            song[esc] = rs[: len(esc)]
+            best[esc] = rb[: len(esc)]
+            t = np.array(t, copy=True)
+            t[esc] = rt[: len(esc)]
+        return song, best, t
 
     # sigma-normalized coarse winner-vs-cut gap below which a query is
     # "close to the cut" (the screen's documented low-margin regime), and

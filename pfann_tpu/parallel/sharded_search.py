@@ -389,6 +389,124 @@ class ShardedDatabase:
 
         return jax.jit(sharded_rescue)
 
+    def _rescue_chunk(self, S: int) -> int:
+        """Escalated-batch dispatch width for the stage-3 rescue: the
+        XLA alignment impl materializes a per-shard [songs_max*R, S, B]
+        score tensor — cap it at 4 GiB like ScreenedAlignmentEngine's
+        _rescue_chunk (the Pallas kernel streams and needs no cap)."""
+        mb = 128
+        if self.impl != "pallas":
+            itemsize = 2 if self._db.dtype == jnp.bfloat16 else 4
+            per_b = self.songs_max * self.R * S * itemsize
+            mb = max(1, min(mb, (4 << 30) // max(per_b, 1)))
+        return mb
+
+    def _make_rescue_top1_fn(self, S: int, Be: int):
+        """Stage-3 rescue for the sharded SERVING path: per-shard
+        exhaustive alignment over the resident screen regions with a
+        LOCAL top-1 inside the shard_map body, so only [n_shards, B]
+        (value, slot, offset) rows cross shards for the global argmax —
+        never a [B, n_songs] table (on-device or host)."""
+        from pfann_tpu.index.align import alignment_core
+
+        axis, R, pad = self.axis, self.R, self.pad
+        impl, interpret = self.impl, self.interpret
+        songs_max = self.songs_max
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+        def body(db3_sh, valid_sh, qpad, valid):
+            q = jnp.where(valid[:, :, None], qpad, 0.0)
+            d = db3_sh.shape[-1]
+            db = db3_sh[0].reshape(-1, d)
+            if impl == "xla":
+                db = jnp.pad(db, ((0, pad), (0, 0)))
+            best, argoff = alignment_core(
+                db, q, R=R, S=S, n_songs=songs_max,
+                score_dtype=db3_sh.dtype, impl=impl, interpret=interpret,
+            )  # [Be, songs_max] x2
+            best = jnp.where(valid_sh[0][None, :], best, -jnp.inf)
+            slot = jnp.argmax(best, axis=1)  # [Be]
+            take = jax.vmap(lambda b, o, s: (b[s], o[s]))(best, argoff, slot)
+            return take[0][None], slot[None], take[1][None]
+
+        @jax.jit
+        def rtop1(db_sh, valid_sh, qpad, valid, inv_len):
+            val, slot, off = body(db_sh, valid_sh, qpad, valid)
+            sc = (val * inv_len).astype(jnp.float32)  # [n_shards, Be]
+            si = jnp.argmax(sc, axis=0)  # [Be] winning shard
+            bi = jnp.arange(Be)
+            flat = si.astype(jnp.int32) * songs_max + slot[si, bi].astype(
+                jnp.int32
+            )
+            return sc[si, bi], flat, (off[si, bi] - pad).astype(jnp.float32)
+
+        return rtop1
+
+    def search_top1_rescued(self, qpad):
+        """RESCUED serving fast path: search_top1_device's stages 1+2
+        answer every query, then queries whose best exact MEAN score
+        falls below ``rescue_tau`` are exhaustively rescored per shard
+        with on-device local top-1 + tiny cross-shard merge — answers
+        equal query_batch's (and hence the exhaustive control's) while
+        the host traffic stays [B]-sized.  Returns HOST (score [B],
+        flat_idx [B], offset [B]); map flat_idx via :meth:`flat_to_song`.
+        For engine='align' (already exhaustive) or rescue disabled this
+        is just the synced fast path."""
+        B, S, _ = qpad.shape
+        val, idx, off = self.search_top1_device(qpad)
+        val = np.array(np.asarray(val), copy=True)
+        idx = np.array(np.asarray(idx), copy=True)
+        off = np.array(np.asarray(off), copy=True)
+        if self.engine != "screen" or self.rescue_tau is None \
+                or not self.n_songs:
+            return val, idx, off
+        esc = np.nonzero(val < self.rescue_tau)[0]
+        if not len(esc):
+            return val, idx, off
+        from pfann_tpu.utils.logging import get_logger
+
+        get_logger().info(
+            "sharded screen top-1 rescue: %d/%d queries below tau=%.3f "
+            "rescored exhaustively", len(esc), B, self.rescue_tau,
+        )
+        Sp = bucket_windows(S, self.pad)
+        qdev = jnp.asarray(qpad)
+        if Sp != S:
+            qdev = jnp.pad(qdev, ((0, 0), (0, Sp - S), (0, 0)))
+        mb = self._rescue_chunk(Sp)
+        if self.impl == "pallas":
+            from pfann_tpu.index.pallas_align import LANE
+
+            mb = max(LANE, mb // LANE * LANE)
+        outs = []
+        for i in range(0, len(esc), mb):
+            take = np.asarray(esc[i : i + mb], dtype=np.int64)
+            gidx = np.zeros(mb, np.int64)
+            gidx[: len(take)] = take  # tail pads re-score row 0
+            chunk = jnp.take(qdev, jnp.asarray(gidx), axis=0)
+            vmask = np.zeros((mb, Sp), dtype=bool)
+            vmask[: len(take), :S] = True
+            rkey = ("rescue_top1", Sp, mb)
+            if rkey not in self._query_cache:
+                self._query_cache[rkey] = self._make_rescue_top1_fn(Sp, mb)
+            outs.append(
+                self._query_cache[rkey](
+                    self._db, self._song_valid, chunk,
+                    jnp.asarray(vmask), jnp.float32(1.0 / S),
+                )
+            )
+        rv = np.concatenate([np.asarray(o[0]) for o in outs])[: len(esc)]
+        ri = np.concatenate([np.asarray(o[1]) for o in outs])[: len(esc)]
+        ro = np.concatenate([np.asarray(o[2]) for o in outs])[: len(esc)]
+        val[esc], idx[esc], off[esc] = rv, ri, ro
+        return val, idx, off
+
     def _make_top1_fn(self, Sp: int, Bp: int):
         """Device-side top-1 finalize over the sharded align tables: only
         (score, flat_index, offset) per query crosses the host boundary —
@@ -548,24 +666,38 @@ class ShardedDatabase:
                         "tau=%.3f rescored exhaustively",
                         len(esc), B, self.rescue_tau,
                     )
+                    # memory-guarded dispatch (ADVICE r4): the XLA impl
+                    # materializes [songs_max*R, S, Be] per shard — cap
+                    # the escalated chunk like screen.py's _rescue
+                    mb = self._rescue_chunk(S)
                     if self.impl == "pallas":
                         from pfann_tpu.index.pallas_align import LANE
 
-                        Be = -(-len(esc) // LANE) * LANE
-                    else:
-                        Be = bucket_batch(len(esc))
-                    qr = np.zeros((Be, S, self.d), dtype=np.float32)
-                    vr = np.zeros((Be, S), dtype=bool)
-                    qr[: len(esc)] = qpad[esc]
-                    vr[: len(esc)] = valid[esc]
-                    rkey = ("rescue", S, Be)
-                    if rkey not in self._query_cache:
-                        self._query_cache[rkey] = self._make_rescue_fn(S)
-                    rb, ro = self._query_cache[rkey](
-                        self._db, jnp.asarray(qr), jnp.asarray(vr)
-                    )
-                    rb = np.asarray(rb)[:, : len(esc)]  # [n_shards, e, songs]
-                    ro = np.asarray(ro)[:, : len(esc)]
+                        mb = max(LANE, mb // LANE * LANE)
+                    rbs, ros = [], []
+                    for i0 in range(0, len(esc), mb):
+                        take = esc[i0 : i0 + mb]
+                        if self.impl == "pallas":
+                            from pfann_tpu.index.pallas_align import LANE
+
+                            Be = -(-len(take) // LANE) * LANE
+                        else:
+                            Be = bucket_batch(len(take))
+                        Be = min(Be, mb)
+                        qr = np.zeros((Be, S, self.d), dtype=np.float32)
+                        vr = np.zeros((Be, S), dtype=bool)
+                        qr[: len(take)] = qpad[take]
+                        vr[: len(take)] = valid[take]
+                        rkey = ("rescue", S, Be)
+                        if rkey not in self._query_cache:
+                            self._query_cache[rkey] = self._make_rescue_fn(S)
+                        rb, ro = self._query_cache[rkey](
+                            self._db, jnp.asarray(qr), jnp.asarray(vr)
+                        )
+                        rbs.append(np.asarray(rb)[:, : len(take)])
+                        ros.append(np.asarray(ro)[:, : len(take)])
+                    rb = np.concatenate(rbs, axis=1)  # [n_shards, e, songs]
+                    ro = np.concatenate(ros, axis=1)
                     le = lens[esc]
                     for si in range(self.n_shards):
                         ids = self.song_map[si]

@@ -597,3 +597,55 @@ def test_sharded_screen_rescue_matches_align():
         assert top == want[b]
         np.testing.assert_allclose(smax[b, top], rmax[b, top], rtol=1e-5)
         assert stime[b, top] == rtime[b, top]
+
+
+def test_sharded_screen_rescued_top1_matches_query_batch():
+    """VERDICT r4 #1 (sharded): search_top1_rescued answers must equal
+    the validated query_batch + rescue path's in the winner-dropping
+    regime, with only [B]-sized host traffic."""
+    rng = np.random.default_rng(27)
+    db, counts, song_pos = make_db(rng, n_songs=24, min_len=16, max_len=30)
+    mesh = make_mesh("db", 4)
+    S = 10
+    qs = []
+    for b in range(6):
+        song = int(rng.integers(0, len(counts)))
+        off = int(rng.integers(0, counts[song] - S))
+        q = db[song_pos[song] + off : song_pos[song] + off + S].copy()
+        q += (0.46 if b % 2 else 0.1) * rng.standard_normal(
+            q.shape
+        ).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qs.append(q)
+
+    scr = ShardedDatabase(db, counts, mesh, engine="screen",
+                          db_dtype=jnp.float32, align_pad=16,
+                          screen_k=4, screen_top_m=1, screen_rescue=0.4)
+    smax, stime = scr.query_batch(qs)
+    want = [int(np.argmax(smax[b])) for b in range(len(qs))]
+
+    qpad = jnp.asarray(np.stack(qs).astype(np.float32))
+    bval, bidx, boff = scr.search_top1_device(qpad)  # bare stages 1+2
+    bare_song = scr.flat_to_song(np.asarray(bidx)).tolist()
+    val, idx, off = scr.search_top1_rescued(qpad)
+    song = scr.flat_to_song(idx).tolist()
+    assert bare_song != want, "regime too easy: bare top-1 already exact"
+    assert song == want
+    for b in range(len(qs)):
+        np.testing.assert_allclose(val[b], smax[b, want[b]], rtol=1e-5)
+        assert off[b] == stime[b, want[b]]
+
+
+def test_sharded_align_rescued_top1_passthrough():
+    """engine='align' (exhaustive already): search_top1_rescued is the
+    plain synced fast path."""
+    rng = np.random.default_rng(28)
+    db, counts, song_pos = make_db(rng, n_songs=8, min_len=12, max_len=20)
+    mesh = make_mesh("db", 2)
+    sdb = ShardedDatabase(db, counts, mesh, engine="align",
+                          db_dtype=jnp.float32, align_pad=16)
+    q = db[song_pos[5] + 2 : song_pos[5] + 8].copy()
+    qpad = jnp.asarray(q[None].astype(np.float32))
+    val, idx, off = sdb.search_top1_rescued(qpad)
+    assert sdb.flat_to_song(idx).tolist() == [5]
+    assert off[0] == 2

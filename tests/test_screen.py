@@ -492,3 +492,52 @@ def test_database_screen_auto_threshold(tmp_path):
             hop_size=0.5,
         )
         assert db.engine == want, (n_songs, db.engine, want)
+
+
+def test_screen_rescued_top1_matches_search():
+    """VERDICT r4 #1: the SERVING fast path (search_top1) must return
+    the same answers as the validated full-table path (search + rescue)
+    in the winner-dropping regime — the headline-throughput engine and
+    the accuracy-validated engine are the same code path now."""
+    rng = np.random.default_rng(14)
+    emb, counts, song_pos = make_db(rng, n_songs=48, min_len=16)
+    S = 12
+    clean, _, _ = noisy_queries(rng, emb, counts, song_pos, n=8, S=S,
+                                noise=0.1)
+    noisy, _, _ = noisy_queries(rng, emb, counts, song_pos, n=16, S=S,
+                                noise=0.46)
+    filters = np.concatenate([clean, noisy])
+    sub_lens = np.full(len(filters), S, np.int32)
+
+    kw = dict(pad=16, k=4, top_m=1, score_dtype=jnp.float32,
+              impl="xla", backend="exact")
+    bare = ScreenedAlignmentEngine(emb, counts, **kw)
+    b_song, _, _ = bare.search_top1(filters)
+
+    scr = ScreenedAlignmentEngine(emb, counts, rescue_threshold=0.4, **kw)
+    ss, st = scr.search(filters, sub_lens)
+    song, best, t = scr.search_top1(filters)
+    want = [int(np.argmax(ss[b])) for b in range(len(filters))]
+    assert list(b_song) != want, "regime too easy: bare top-1 already exact"
+    assert list(song) == want
+    for b in range(len(filters)):
+        np.testing.assert_allclose(best[b] / S, ss[b, want[b]], rtol=1e-5)
+        assert t[b] == st[b, want[b]]
+
+
+def test_screen_rescued_top1_no_escalation_when_disabled():
+    """rescue_threshold=None keeps search_top1 identical to the bare
+    device fast path (no host round trips added)."""
+    rng = np.random.default_rng(15)
+    emb, counts, song_pos = make_db(rng, n_songs=16, d=32)
+    scr = ScreenedAlignmentEngine(
+        emb, counts, pad=16, k=4, top_m=4, score_dtype=jnp.float32,
+        impl="xla", backend="exact",
+    )
+    S = 8
+    filters, want_song, want_off = noisy_queries(
+        rng, emb, counts, song_pos, n=5, S=S, noise=0.1
+    )
+    song, best, t = scr.search_top1(filters)
+    assert list(song) == want_song
+    assert [int(x) for x in t] == want_off
