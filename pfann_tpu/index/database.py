@@ -151,15 +151,6 @@ class Database:
         self.align_pad = int(self.params.get("align_pad", 0)) or None
         self._fallback_logged: set = set()
         sharded = self.params.get("sharded", False) and jax.device_count() > 1
-        if sharded and self.score_alpha != 0 and engine in ("align", "screen"):
-            # the sharded shard_map bodies don't plumb the alpha masks
-            # yet; serve alpha from the single-device fast engine instead
-            # of silently dropping to an unsharded topk scan
-            get_logger().warning(
-                "score_alpha != 0 not supported on the sharded path; "
-                "using the single-device %s engine", engine,
-            )
-            sharded = False
         if engine in ("align", "screen") and sharded:
             # song-sharded retrieval over all local devices (ICI mesh);
             # engine='screen' screens per shard (local coarse prune +
@@ -176,6 +167,10 @@ class Database:
                 screen_top_m=int(self.params.get("screen_top_m", 32)),
                 screen_coarse_dtype=self.params.get("screen_coarse_dtype"),
                 backend=self.params.get("backend", "auto"),
+                # alpha rides the sharded fast engines too: per-shard
+                # row_valid / counts masks keep the exp transform exact
+                # (seqscore.cpp:103-110 semantics on every shard)
+                score_alpha=self.score_alpha,
                 screen_rescue=float(
                     self.params.get("screen_rescue", 0.4) or 0.0
                 ) or None,

@@ -108,19 +108,7 @@ class ShardedDatabase:
         self.pad = align_pad
         self.top_k = top_k
         self.frame_shift_mul = frame_shift_mul
-        self.score_alpha = score_alpha
-        if score_alpha and engine in ("align", "screen"):
-            # the sharded align/screen shard_map bodies don't plumb the
-            # alpha row/query masks (zero padding rows would score
-            # exp(-alpha) > 0), so scores — and the screen's rescue cut —
-            # would silently be in the wrong units.  Database routes
-            # alpha to the single-device fast engines, which are
-            # alpha-exact (index/align.py, screen stage 2 + rescue).
-            raise ValueError(
-                "score_alpha != 0 is not supported by the sharded %s "
-                "engine; use the single-device engine (Database does "
-                "this automatically) or engine='topk'" % engine
-            )
+        self.score_alpha = float(score_alpha)
         if backend == "auto":
             backend = "approx" if jax.default_backend() == "tpu" else "exact"
         self.backend = backend
@@ -128,11 +116,18 @@ class ShardedDatabase:
         # stage-3 exhaustive rescue cut for the screen engine (same
         # mean-IP semantics and default as ScreenedAlignmentEngine: a
         # query whose best exact survivor MEAN score lands below this is
-        # rescored against the full per-shard layouts)
-        self.rescue_tau = (
-            float(screen_rescue)
-            if engine == "screen" and screen_rescue else None
-        )
+        # rescored against the full per-shard layouts).  With
+        # score_alpha the cut is mapped through the per-window exp
+        # transform — an approximation of the mean-IP cut (the monotone
+        # transform does not commute with the mean; same caveat as
+        # ScreenedAlignmentEngine)
+        self.rescue_tau = None
+        if engine == "screen" and screen_rescue:
+            t = float(screen_rescue)
+            self.rescue_tau = (
+                float(np.exp(-self.score_alpha * (1.0 - t) ** 2))
+                if self.score_alpha != 0.0 else t
+            )
         # align-engine kernel choice: the fused Pallas kernel on TPU (the
         # round-1 single-chip headline path — the XLA variant is ~4x
         # slower at serving batch sizes), XLA elsewhere.  interpret=True
@@ -140,6 +135,13 @@ class ShardedDatabase:
         # tests.
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if self.score_alpha != 0.0 and engine == "align":
+            # the fused Pallas kernel accumulates window dots without
+            # materializing them; the alpha transform needs the
+            # per-window slices (same forcing as AlignmentEngine).  The
+            # screen engine keeps its impl — its stage 1 ranks raw
+            # pooled IPs in any impl and stage 2/rescue handle alpha.
+            impl = "xla"
         self.impl = impl
         self.interpret = interpret
         n_shards = mesh.shape[axis]
@@ -174,6 +176,7 @@ class ShardedDatabase:
             songs_max = n_pad
             self.top_m = min(screen_top_m, songs_max)
             db3_sh, coarse_sh, valid_sh = [], [], []
+            counts_sh_l, rv_sh_l = [], []
             song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
             counts_np = np.asarray(counts, dtype=np.int64)
             for si, g in enumerate(groups):
@@ -189,6 +192,19 @@ class ShardedDatabase:
                 coarse_sh.append(coarse)
                 valid_sh.append(np.arange(n_pad) < len(g))
                 song_map[si, : len(g)] = g
+                if self.score_alpha != 0.0:
+                    # per-region real row counts (stage-2 out-of-song
+                    # window mask) + flat-layout row validity (rescue's
+                    # alpha mask); + pad trailing rows: the rescue body
+                    # appends them for the XLA core's shifted slices
+                    cpad = np.zeros(n_pad, np.int32)
+                    cpad[: len(g)] = loc_counts.astype(np.int32)
+                    counts_sh_l.append(cpad)
+                    from pfann_tpu.index.align import build_row_valid
+
+                    rv_sh_l.append(build_row_valid(
+                        loc_counts, R, align_pad, n_pad * R + align_pad
+                    ))
             shard_cast = lambda a: jax.device_put(
                 jnp.asarray(host_cast(np.stack(a), db_dtype)), shard
             )
@@ -210,6 +226,14 @@ class ShardedDatabase:
                 jnp.asarray(np.stack(valid_sh)), shard
             )
             self._song_pos = None
+            self._counts_sh = self._row_valid = None
+            if self.score_alpha != 0.0:
+                self._counts_sh = jax.device_put(
+                    jnp.asarray(np.stack(counts_sh_l)), shard
+                )
+                self._row_valid = jax.device_put(
+                    jnp.asarray(np.stack(rv_sh_l)), shard
+                )
         elif engine == "align":
             # uniform-region layout per shard (index/align.py), common R
             # across shards so one program serves every chip
@@ -228,6 +252,7 @@ class ShardedDatabase:
                 rows = songs_max * self.R + align_pad
             song_map = np.full((n_shards, songs_max), -1, dtype=np.int32)
             db_sh = np.zeros((n_shards, rows, self.d), dtype=np.float32)
+            rv_sh_l = []
             for si, g in enumerate(groups):
                 loc_emb, loc_counts = gather_shard_rows(
                     embeddings, song_pos, counts, g, self.d
@@ -243,10 +268,21 @@ class ShardedDatabase:
                     ) - np.repeat(np.cumsum(loc_counts) - loc_counts, loc_counts)
                     db_sh[si, song_of * self.R + align_pad + intra] = loc_emb
                     song_map[si, : len(g)] = g
+                if self.score_alpha != 0.0:
+                    from pfann_tpu.index.align import build_row_valid
+
+                    rv_sh_l.append(
+                        build_row_valid(loc_counts, self.R, align_pad, rows)
+                    )
             self._db = jax.device_put(
                 jnp.asarray(host_cast(db_sh, db_dtype)), shard
             )
             self._song_pos = None
+            self._counts_sh = self._row_valid = None
+            if self.score_alpha != 0.0:
+                self._row_valid = jax.device_put(
+                    jnp.asarray(np.stack(rv_sh_l)), shard
+                )
         else:
             rows_max = max(
                 (int(sum(counts[s] for s in g)) for g in groups), default=1
@@ -267,6 +303,7 @@ class ShardedDatabase:
                 jnp.asarray(host_cast(db_sh, db_dtype)), shard
             )
             self._song_pos = jax.device_put(jnp.asarray(song_pos_sh), shard)
+            self._counts_sh = self._row_valid = None
 
         self.songs_max = songs_max
         self.song_map = song_map  # host-side
@@ -288,7 +325,29 @@ class ShardedDatabase:
                 n_pad=songs_max, M=self.top_m, backend=self.backend,
                 dt=self._db.dtype, impl=self.impl,
                 interpret=self.interpret,
+                score_alpha=alpha, pad=self.pad,
             )
+
+            if alpha != 0.0:
+                # alpha plumbing (seqscore.cpp:103-110): per-shard region
+                # row counts mask out-of-song windows in stage 2;
+                # q_valid [B, S] masks zero-padded query rows
+                @partial(
+                    jax.shard_map,
+                    mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+                    out_specs=(P(axis), P(axis), P(axis)),
+                    check_vma=False,
+                )
+                def sharded_screen_a(db3_sh, coarse_sh, valid_sh,
+                                     counts_sh, qpad, q_valid):
+                    cand, best, argoff = core(
+                        db3_sh[0], coarse_sh[0], qpad, valid_sh[0],
+                        counts=counts_sh[0], q_valid=q_valid,
+                    )
+                    return cand[None], best[None], argoff[None]
+
+                return jax.jit(sharded_screen_a)
 
             @partial(
                 jax.shard_map,
@@ -309,6 +368,31 @@ class ShardedDatabase:
             from pfann_tpu.index.align import alignment_core
 
             R, impl, interpret = self.R, self.impl, self.interpret
+
+            if alpha != 0.0:
+                # alpha plumbing: per-shard row_valid marks real song
+                # rows (layout pad/slack must contribute 0, not
+                # exp(-alpha)); q_valid comes from the caller's validity
+                # mask transposed to alignment_core's [S, B] convention
+                @partial(
+                    jax.shard_map,
+                    mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(), P()),
+                    out_specs=(P(axis), P(axis)),
+                    check_vma=False,
+                )
+                def sharded_align_a(db_sh, rv_sh, qpad, valid):
+                    q = jnp.where(valid[:, :, None], qpad, 0.0)
+                    best, argoff = alignment_core(
+                        db_sh[0], q, R=R, S=S, n_songs=songs_max,
+                        score_dtype=db_sh.dtype, impl=impl,
+                        interpret=interpret, score_alpha=alpha,
+                        row_valid=rv_sh[0],
+                        q_valid=jnp.transpose(valid).astype(jnp.float32),
+                    )
+                    return best[None], argoff[None]
+
+                return jax.jit(sharded_align_a)
 
             @partial(
                 jax.shard_map,
@@ -361,8 +445,38 @@ class ShardedDatabase:
         from pfann_tpu.index.align import alignment_core
 
         axis, R = self.axis, self.R
-        impl, interpret = self.impl, self.interpret
+        alpha = self.score_alpha
+        # alpha needs the per-window score slices -> XLA impl (same
+        # forcing as ScreenedAlignmentEngine._rescue_fn)
+        impl = "xla" if alpha != 0.0 else self.impl
+        interpret = self.interpret
         songs_max = self.songs_max
+
+        if alpha != 0.0:
+
+            @partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(), P()),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
+            )
+            def sharded_rescue_a(db3_sh, rv_sh, qpad, valid):
+                q = jnp.where(valid[:, :, None], qpad, 0.0)
+                d = db3_sh.shape[-1]
+                db = jnp.pad(
+                    db3_sh[0].reshape(-1, d), ((0, self.pad), (0, 0))
+                )
+                best, argoff = alignment_core(
+                    db, q, R=R, S=S,
+                    n_songs=songs_max, score_dtype=db3_sh.dtype,
+                    impl=impl, interpret=interpret, score_alpha=alpha,
+                    row_valid=rv_sh[0],
+                    q_valid=jnp.transpose(valid).astype(jnp.float32),
+                )
+                return best[None], argoff[None]
+
+            return jax.jit(sharded_rescue_a)
 
         @partial(
             jax.shard_map,
@@ -410,17 +524,21 @@ class ShardedDatabase:
         from pfann_tpu.index.align import alignment_core
 
         axis, R, pad = self.axis, self.R, self.pad
-        impl, interpret = self.impl, self.interpret
+        alpha = self.score_alpha
+        impl = "xla" if alpha != 0.0 else self.impl
+        interpret = self.interpret
         songs_max = self.songs_max
+        rv_specs = (P(axis),) if alpha != 0.0 else ()
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(), P()),
+            in_specs=(P(axis), P(axis)) + rv_specs + (P(), P()),
             out_specs=(P(axis), P(axis), P(axis)),
             check_vma=False,
         )
-        def body(db3_sh, valid_sh, qpad, valid):
+        def body(db3_sh, valid_sh, *rest):
+            (rv_sh, qpad, valid) = rest if alpha != 0.0 else (None,) + rest
             q = jnp.where(valid[:, :, None], qpad, 0.0)
             d = db3_sh.shape[-1]
             db = db3_sh[0].reshape(-1, d)
@@ -429,6 +547,10 @@ class ShardedDatabase:
             best, argoff = alignment_core(
                 db, q, R=R, S=S, n_songs=songs_max,
                 score_dtype=db3_sh.dtype, impl=impl, interpret=interpret,
+                score_alpha=alpha,
+                row_valid=rv_sh[0] if alpha != 0.0 else None,
+                q_valid=(jnp.transpose(valid).astype(jnp.float32)
+                         if alpha != 0.0 else None),
             )  # [Be, songs_max] x2
             best = jnp.where(valid_sh[0][None, :], best, -jnp.inf)
             slot = jnp.argmax(best, axis=1)  # [Be]
@@ -436,8 +558,11 @@ class ShardedDatabase:
             return take[0][None], slot[None], take[1][None]
 
         @jax.jit
-        def rtop1(db_sh, valid_sh, qpad, valid, inv_len):
-            val, slot, off = body(db_sh, valid_sh, qpad, valid)
+        def rtop1(db_sh, valid_sh, qpad, valid, inv_len, rv_sh=None):
+            if alpha != 0.0:
+                val, slot, off = body(db_sh, valid_sh, rv_sh, qpad, valid)
+            else:
+                val, slot, off = body(db_sh, valid_sh, qpad, valid)
             sc = (val * inv_len).astype(jnp.float32)  # [n_shards, Be]
             si = jnp.argmax(sc, axis=0)  # [Be] winning shard
             bi = jnp.arange(Be)
@@ -499,6 +624,7 @@ class ShardedDatabase:
                 self._query_cache[rkey](
                     self._db, self._song_valid, chunk,
                     jnp.asarray(vmask), jnp.float32(1.0 / S),
+                    rv_sh=self._row_valid,
                 )
             )
         rv = np.concatenate([np.asarray(o[0]) for o in outs])[: len(esc)]
@@ -522,14 +648,22 @@ class ShardedDatabase:
         pad = self.pad
         songs_max = self.songs_max
 
+        alpha = self.score_alpha
+
         if self.engine == "screen":
 
             @jax.jit
-            def top1_screen(db_sh, coarse_sh, valid_sh, qpad, inv_len):
+            def top1_screen(db_sh, coarse_sh, valid_sh, qpad, inv_len,
+                            counts_sh=None, q_valid=None):
                 # cand/best/argoff: [n_shards, Bp, M]; flat index =
                 # shard * songs_max + local slot so flat_to_song's
                 # song_map.reshape(-1) lookup works unchanged
-                cand, best, argoff = qfn(db_sh, coarse_sh, valid_sh, qpad)
+                if alpha != 0.0:
+                    cand, best, argoff = qfn(
+                        db_sh, coarse_sh, valid_sh, counts_sh, qpad, q_valid
+                    )
+                else:
+                    cand, best, argoff = qfn(db_sh, coarse_sh, valid_sh, qpad)
                 n_shards = cand.shape[0]
                 gflat = cand + (
                     jnp.arange(n_shards, dtype=cand.dtype)[:, None, None]
@@ -548,9 +682,13 @@ class ShardedDatabase:
             return top1_screen
 
         @jax.jit
-        def top1(db_sh, qpad, inv_len):
-            valid = jnp.ones((Bp, Sp), dtype=bool)
-            best, argoff = qfn(db_sh, qpad, valid)  # [n_shards, Bp, songs]
+        def top1(db_sh, qpad, inv_len, rv_sh=None, valid=None):
+            if valid is None:
+                valid = jnp.ones((Bp, Sp), dtype=bool)
+            if alpha != 0.0:
+                best, argoff = qfn(db_sh, rv_sh, qpad, valid)
+            else:
+                best, argoff = qfn(db_sh, qpad, valid)  # [n_shards, Bp, songs]
             sc = (best * inv_len).astype(jnp.float32)
             flat = sc.transpose(1, 0, 2).reshape(Bp, -1)
             off_flat = argoff.transpose(1, 0, 2).reshape(Bp, -1)
@@ -584,14 +722,26 @@ class ShardedDatabase:
         key = ("top1", Sp, Bp)
         if key not in self._query_cache:
             self._query_cache[key] = self._make_top1_fn(Sp, Bp)
+        qv = None
+        if self.score_alpha != 0.0:
+            # mark the B real queries' first S window rows (padded rows
+            # must contribute 0, not exp(-alpha))
+            v = np.zeros((Bp, Sp), dtype=bool)
+            v[:B, :S] = True
+            qv = jnp.asarray(v)
         if self.engine == "screen":
             val, idx, off = self._query_cache[key](
                 self._db, self._coarse, self._song_valid, qpad,
                 jnp.float32(1.0 / S),
+                counts_sh=self._counts_sh,
+                q_valid=(
+                    qv.astype(jnp.float32) if qv is not None else None
+                ),
             )
         else:
             val, idx, off = self._query_cache[key](
-                self._db, qpad, jnp.float32(1.0 / S)
+                self._db, qpad, jnp.float32(1.0 / S),
+                rv_sh=self._row_valid, valid=qv,
             )
         if Bp != B:
             val, idx, off = val[:B], idx[:B], off[:B]
@@ -631,9 +781,17 @@ class ShardedDatabase:
             # per-shard top-M survivors scattered into the global table;
             # pruned songs keep (0, 0) — the screened engine's
             # untouched-candidate convention (index/screen.py:search)
-            cand, best, argoff = self._query_cache[key](
-                self._db, self._coarse, self._song_valid, jnp.asarray(qpad)
-            )
+            if self.score_alpha != 0.0:
+                cand, best, argoff = self._query_cache[key](
+                    self._db, self._coarse, self._song_valid,
+                    self._counts_sh, jnp.asarray(qpad),
+                    jnp.asarray(valid.astype(np.float32)),
+                )
+            else:
+                cand, best, argoff = self._query_cache[key](
+                    self._db, self._coarse, self._song_valid,
+                    jnp.asarray(qpad)
+                )
             cand = np.asarray(cand)[:, :B]     # [n_shards, B, M]
             best = np.asarray(best)[:, :B]
             argoff = np.asarray(argoff)[:, :B]
@@ -691,9 +849,15 @@ class ShardedDatabase:
                         rkey = ("rescue", S, Be)
                         if rkey not in self._query_cache:
                             self._query_cache[rkey] = self._make_rescue_fn(S)
-                        rb, ro = self._query_cache[rkey](
-                            self._db, jnp.asarray(qr), jnp.asarray(vr)
-                        )
+                        if self.score_alpha != 0.0:
+                            rb, ro = self._query_cache[rkey](
+                                self._db, self._row_valid,
+                                jnp.asarray(qr), jnp.asarray(vr)
+                            )
+                        else:
+                            rb, ro = self._query_cache[rkey](
+                                self._db, jnp.asarray(qr), jnp.asarray(vr)
+                            )
                         rbs.append(np.asarray(rb)[:, : len(take)])
                         ros.append(np.asarray(ro)[:, : len(take)])
                     rb = np.concatenate(rbs, axis=1)  # [n_shards, e, songs]
@@ -710,9 +874,15 @@ class ShardedDatabase:
                         )
             return out_max, out_time
         if self.engine == "align":
-            best, argoff = self._query_cache[key](
-                self._db, jnp.asarray(qpad), jnp.asarray(valid)
-            )
+            if self.score_alpha != 0.0:
+                best, argoff = self._query_cache[key](
+                    self._db, self._row_valid,
+                    jnp.asarray(qpad), jnp.asarray(valid)
+                )
+            else:
+                best, argoff = self._query_cache[key](
+                    self._db, jnp.asarray(qpad), jnp.asarray(valid)
+                )
             lens = np.maximum(np.asarray([q.shape[0] for q in queries]), 1)
             smax = np.asarray(best)[:, :B] / lens[None, :, None]
             stime = (np.asarray(argoff)[:, :B] - self.pad).astype(np.float32)

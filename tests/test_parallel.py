@@ -368,19 +368,91 @@ def test_database_sharded_align_pad_plumbed(tmp_path):
     assert d_sh._use_align(40)  # 32 < 40 <= 48: stays on the fast engine
 
 
-def test_sharded_fast_engines_reject_alpha():
-    """score_alpha is only exact on the single-device fast engines (the
-    sharded shard_map bodies don't plumb the alpha masks); constructing
-    the sharded align/screen engine with alpha must fail loudly instead
-    of scoring in the wrong units (and exp-transforming the rescue cut
-    for a transform stage 2 never applies)."""
+def test_sharded_align_alpha_matches_single_device():
+    """VERDICT r4 #4: score_alpha rides the sharded align engine — the
+    per-shard row_valid / q_valid masks must make the exp transform
+    exact, so the sharded table equals the single-device alpha engine's
+    (ragged query lengths exercise the q_valid mask)."""
+    from pfann_tpu.index.align import AlignmentEngine
+
     rng = np.random.default_rng(12)
-    db, counts, _ = make_db(rng, n_songs=8, d=8)
-    mesh = make_mesh("db", jax.device_count())
-    for engine in ("align", "screen"):
-        with pytest.raises(ValueError, match="score_alpha"):
-            ShardedDatabase(db, counts, mesh, engine=engine,
-                            db_dtype=jnp.float32, score_alpha=2.0)
+    db, counts, song_pos = make_db(rng, n_songs=12, min_len=12, max_len=24)
+    mesh = make_mesh("db", 4)
+    alpha = 1.5
+    S = 8
+    qs = []
+    for b, ln in enumerate((8, 5, 8, 3)):
+        song = int(rng.integers(0, len(counts)))
+        off = int(rng.integers(0, counts[song] - ln))
+        q = db[song_pos[song] + off : song_pos[song] + off + ln].copy()
+        q += 0.1 * rng.standard_normal(q.shape).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qs.append(q)
+
+    single = AlignmentEngine(db, counts, pad=16, score_dtype=jnp.float32,
+                             impl="xla", score_alpha=alpha)
+    filters = np.zeros((len(qs), S, db.shape[1]), np.float32)
+    sub_lens = np.asarray([q.shape[0] for q in qs], np.int32)
+    for i, q in enumerate(qs):
+        filters[i, : q.shape[0]] = q
+    ss, st = single.search(filters, sub_lens)
+
+    sdb = ShardedDatabase(db, counts, mesh, engine="align",
+                          db_dtype=jnp.float32, align_pad=16,
+                          score_alpha=alpha)
+    assert sdb.impl == "xla"  # alpha forces the XLA impl
+    smax, stime = sdb.query_batch(qs)
+    np.testing.assert_allclose(smax, ss, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(stime, st)
+
+
+def test_sharded_screen_alpha_matches_align_alpha():
+    """score_alpha through the sharded screen engine (stage 2 + rescue):
+    with a harsh prune + rescue the answers and winner (score, time)
+    equal the sharded align alpha engine's."""
+    rng = np.random.default_rng(13)
+    db, counts, song_pos = make_db(rng, n_songs=16, min_len=16, max_len=28)
+    mesh = make_mesh("db", 4)
+    alpha = 2.0
+    S = 8
+    qs = []
+    for b in range(6):
+        song = int(rng.integers(0, len(counts)))
+        off = int(rng.integers(0, counts[song] - S))
+        q = db[song_pos[song] + off : song_pos[song] + off + S].copy()
+        q += (0.46 if b % 2 else 0.1) * rng.standard_normal(
+            q.shape
+        ).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qs.append(q)
+
+    ref = ShardedDatabase(db, counts, mesh, engine="align",
+                          db_dtype=jnp.float32, align_pad=16,
+                          score_alpha=alpha)
+    rmax, rtime = ref.query_batch(qs)
+
+    scr = ShardedDatabase(db, counts, mesh, engine="screen",
+                          db_dtype=jnp.float32, align_pad=16,
+                          screen_k=4, screen_top_m=2, screen_rescue=0.4,
+                          score_alpha=alpha)
+    # the rescue cut is mapped through the exp transform
+    assert scr.rescue_tau == pytest.approx(np.exp(-alpha * 0.6 ** 2))
+    smax, stime = scr.query_batch(qs)
+    for b in range(len(qs)):
+        want = int(np.argmax(rmax[b]))
+        assert int(np.argmax(smax[b])) == want
+        np.testing.assert_allclose(smax[b, want], rmax[b, want], rtol=1e-5)
+        assert stime[b, want] == rtime[b, want]
+
+    # top-1 serving under alpha: bare device path + rescued path
+    qpad = jnp.asarray(np.stack(qs).astype(np.float32))
+    val, idx, off = scr.search_top1_rescued(qpad)
+    songs = scr.flat_to_song(idx)
+    for b in range(len(qs)):
+        want = int(np.argmax(rmax[b]))
+        assert int(songs[b]) == want
+        np.testing.assert_allclose(val[b], rmax[b, want], rtol=1e-5)
+        assert off[b] == rtime[b, want]
 
 
 def test_database_sharded_fsm2(tmp_path):
