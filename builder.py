@@ -174,7 +174,24 @@ def main() -> None:
     shutil.copyfile(file_list_for_db, os.path.join(dir_for_db, "songList.txt"))
     shutil.copyfile(configs, os.path.join(dir_for_db, "configs.json"))
     shutil.copyfile(model_path, os.path.join(dir_for_db, MODEL_FILE_NAME))
-    write_index_meta(dir_for_db, d=embedder.d, meta={"ntotal": total})
+    meta = {"ntotal": total}
+    # size the alignment layout pad at BUILD time: indexer.max_query_sec
+    # becomes the layout's leading-zero row count (recorded in
+    # index_meta so every later load serves queries that long on the
+    # fast engines instead of the 320x-slower topk fallback,
+    # BENCH_r04_long.json).  Cost: +pad rows/song of HBM at load —
+    # pad=128 (60 s queries) is ~32 KB/song in bf16 at d=128 (~1 GB on
+    # a 30k-track DB).  (Reference long-query striding:
+    # datautil/musicdata.py:87.)
+    max_q = params["indexer"].get("max_query_sec")
+    if max_q:
+        windows = int(np.ceil(float(max_q) / params["hop_size"]))
+        # multiple of 8 satisfies the layout's sublane rounding and the
+        # screen engine's pad % pool_k == 0 constraint (k defaults to 4)
+        meta["align_pad"] = max(-(-windows // 8) * 8, 32)
+        print("align_pad %d (max_query_sec %.1f)"
+              % (meta["align_pad"], float(max_q)))
+    write_index_meta(dir_for_db, d=embedder.d, meta=meta)
 
 
 if __name__ == "__main__":

@@ -100,7 +100,9 @@ class Database:
                 meta = json.load(f)
             d = int(meta["d"])
         else:
+            meta = {}
             d = int(self.params.get("d", 128))
+        self.meta = meta
         emb = np.fromfile(
             os.path.join(dir_for_db, "embeddings"), dtype=np.float32
         ).reshape([-1, d])
@@ -147,8 +149,16 @@ class Database:
         self._sharded = None
         # align_pad caps the fast engines' max query windows (layout
         # leading-zero rows); raise it (e.g. 128) to serve 60 s MIREX
-        # queries without the topk fallback, at +pad rows/song of HBM
-        self.align_pad = int(self.params.get("align_pad", 0)) or None
+        # queries without the topk fallback, at +pad rows/song of HBM.
+        # Resolution order: explicit indexer knob > the build-time value
+        # recorded in index_meta (builder.py's indexer.max_query_sec) >
+        # engine default — so a DB built for long queries serves them on
+        # the fast path with zero load-time configuration
+        self.align_pad = (
+            int(self.params.get("align_pad", 0))
+            or int(meta.get("align_pad", 0))
+            or None
+        )
         self._fallback_logged: set = set()
         sharded = self.params.get("sharded", False) and jax.device_count() > 1
         if engine in ("align", "screen") and sharded:

@@ -443,3 +443,33 @@ def test_rebuild_and_matchfromgt_cli(db_and_model, corpus, tmp_path):
     assert rows[0][:4] == ["query", "answer", "score", "time"]
     assert rows[1][0] == qpath and rows[1][1] == path
     assert float(rows[1][3]) == 2.0  # crop offset recovered in seconds
+
+
+def test_builder_max_query_sec_records_align_pad(db_and_model, corpus,
+                                                 tmp_path):
+    """indexer.max_query_sec at BUILD time -> align_pad in index_meta ->
+    a default-loaded Database serves long queries on the fast engine."""
+    import json
+
+    from pfann_tpu.index.database import Database
+    from pfann_tpu.utils.config import write_config
+
+    cfg, _ = db_and_model
+    cfg2 = dict(cfg, indexer=dict(cfg["indexer"], max_query_sec=20))
+    cfg2_path = str(tmp_path / "configs.json")
+    write_config(cfg2, cfg2_path)
+    lst = str(tmp_path / "list.txt")
+    with open(lst, "w") as f:
+        f.writelines(p + "\n" for p, _ in corpus[:2])
+    db_dir = str(tmp_path / "db_long")
+    env = dict(os.environ, PFANN_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "builder.py"), lst, db_dir,
+         cfg2_path],
+        check=True, env=env, cwd=REPO,
+    )
+    meta = json.load(open(os.path.join(db_dir, "index_meta.json")))
+    assert meta["align_pad"] == 40  # ceil(20 / 0.5) = 40 windows
+    db = Database(db_dir, cfg2["indexer"], hop_size=cfg2["hop_size"])
+    assert db._align.pad == 40
+    assert db._use_align(40) and not db._use_align(41)

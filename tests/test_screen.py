@@ -541,3 +541,43 @@ def test_screen_rescued_top1_no_escalation_when_disabled():
     song, best, t = scr.search_top1(filters)
     assert list(song) == want_song
     assert [int(x) for x in t] == want_off
+
+
+def test_database_align_pad_from_index_meta(tmp_path):
+    """VERDICT r4 #6: a DB built with indexer.max_query_sec records its
+    layout pad in index_meta; Database must honor it by default (long
+    queries never hit the 320x topk cliff), with the explicit indexer
+    knob still winning."""
+    import os
+
+    from pfann_tpu.index.database import Database, write_index_meta
+
+    rng = np.random.default_rng(16)
+    emb, counts, song_pos = make_db(rng, n_songs=6, min_len=50,
+                                    max_len=70, d=32)
+    db_dir = str(tmp_path)
+    emb.tofile(os.path.join(db_dir, "embeddings"))
+    counts.astype(np.int32).tofile(os.path.join(db_dir, "landmarkKey"))
+    with open(os.path.join(db_dir, "songList.txt"), "w") as f:
+        f.writelines("song%d\n" % i for i in range(len(counts)))
+    write_index_meta(db_dir, emb.shape[1], meta={"align_pad": 48})
+
+    db = Database(db_dir, {"top_k": 10, "db_dtype": "float32",
+                           "backend": "exact"}, hop_size=0.5)
+    assert db.align_pad == 48
+    assert db._align.pad == 48
+    # a 40-window query (> DEFAULT_PAD 32) stays on the fast engine
+    assert db._use_align(40)
+    S = 40
+    song = 3
+    q = emb[song_pos[song] + 2 :][:S].copy()
+    q += 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sco, (sid, tsec), _ = db.query_embeddings(q)
+    assert sid == song and abs(tsec - 1.0) < 1e-6
+
+    # explicit indexer knob overrides the recorded value
+    db2 = Database(db_dir, {"top_k": 10, "db_dtype": "float32",
+                            "backend": "exact", "align_pad": 64},
+                   hop_size=0.5)
+    assert db2._align.pad == 64
