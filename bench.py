@@ -464,7 +464,8 @@ def long_query_bench(n_songs: int = 10_000) -> None:
     print(json.dumps(result))
 
 
-def build_bench(n_songs: int = 1000, seconds: float = 30.0) -> None:
+def build_bench(n_songs: int = 1000, seconds: float = 30.0,
+                depths: tuple = (8,)) -> None:
     """DB-build throughput on the real chip — the one metric named in
     BASELINE.json ("DB-build fps/sec") never captured before round 4.
 
@@ -521,34 +522,38 @@ def build_bench(n_songs: int = 1000, seconds: float = 30.0) -> None:
         # warm the compile outside the measured region
         embedder.embed(np.zeros((chunk, embedder.segment_size), np.float32))
 
-        dataset = MusicDataset(list_path, params)
-        t0 = time.time()
-        with open(os.path.join(tmp, "embeddings"), "wb") as emb_file:
-            out = build_embeddings(
-                embedder, dataset, emb_file, hop_size=params["hop_size"]
+        for depth in depths:
+            dataset = MusicDataset(list_path, params)
+            t0 = time.time()
+            with open(os.path.join(tmp, "embeddings"), "wb") as emb_file:
+                out = build_embeddings(
+                    embedder, dataset, emb_file,
+                    hop_size=params["hop_size"], depth=depth,
+                )
+            wall = time.time() - t0
+            st = out["stats"]
+            print(
+                "depth %d decode %.1fs embed %.1fs write %.1fs wall %.1fs"
+                % (depth, st["decode_s"], st["embed_s"], st["write_s"],
+                   wall),
+                file=sys.stderr,
             )
-        wall = time.time() - t0
-        st = out["stats"]
-        print(
-            "decode %.1fs embed %.1fs write %.1fs wall %.1fs"
-            % (st["decode_s"], st["embed_s"], st["write_s"], wall),
-            file=sys.stderr,
-        )
-        audio_per_s = st["audio_s"] / wall
-        print(json.dumps({
-            "metric": "db_build_throughput",
-            "value": round(audio_per_s, 1),
-            "unit": "audio-s/s/chip",
-            "vs_baseline": round(audio_per_s / 1000.0, 3),
-            "embeddings_per_sec": round(out["total"] / wall, 1),
-            "n_songs": n_songs,
-            "phase_split_s": {
-                "decode": round(st["decode_s"], 2),
-                "embed": round(st["embed_s"], 2),
-                "write": round(st["write_s"], 2),
-                "wall": round(wall, 2),
-            },
-        }))
+            audio_per_s = st["audio_s"] / wall
+            print(json.dumps({
+                "metric": "db_build_throughput",
+                "value": round(audio_per_s, 1),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(audio_per_s / 1000.0, 3),
+                "embeddings_per_sec": round(out["total"] / wall, 1),
+                "n_songs": n_songs,
+                "pipeline_depth": depth,
+                "phase_split_s": {
+                    "decode": round(st["decode_s"], 2),
+                    "embed": round(st["embed_s"], 2),
+                    "write": round(st["write_s"], 2),
+                    "wall": round(wall, 2),
+                },
+            }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -812,7 +817,12 @@ if __name__ == "__main__":
         at = _sys.argv.index("--build")
         n = (int(_sys.argv[at + 1]) if len(_sys.argv) > at + 1
              and _sys.argv[at + 1].isdigit() else 1000)
-        build_bench(n)
+        depths = (8,)
+        if "--depth-sweep" in _sys.argv:
+            depths = (1, 2, 4, 8, 16)
+        elif "--depth" in _sys.argv:
+            depths = (int(_sys.argv[_sys.argv.index("--depth") + 1]),)
+        build_bench(n, depths=depths)
         _sys.exit(0)
     if "--train-epoch" in _sys.argv:
         at = _sys.argv.index("--train-epoch")

@@ -42,7 +42,8 @@ from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config
 
 
 def build_embeddings(
-    embedder, dataset, emb_file, hop_size: float, num_workers: int = 4
+    embedder, dataset, emb_file, hop_size: float, num_workers: int = 4,
+    depth: int = 8,
 ) -> dict:
     """The build hot loop: decode stream -> packed embed dispatches ->
     raw f32 append, strictly in list order.  Returns {landmark_key,
@@ -55,8 +56,11 @@ def build_embeddings(
         + per-segment de-mean run on device (Embedder.embed_songs_device)
         — 4x fewer tunnel bytes than shipping host-unfolded f32 segments
         at hop=segment/2, which measured as the build bottleneck (~25
-        MB/s H2D).  Dispatches are pipelined 2 deep so the next batch
-        decodes while the chip works.
+        MB/s H2D).  Dispatches are pipelined ``depth`` deep (default 8,
+        matching the serving bench's dispatch depth — round 4 measured
+        the build wall 99.6% embed-dispatch at depth 2, i.e. RTT-bound;
+        override with PFANN_BUILD_DEPTH) so decode and the gather D2H of
+        older batches overlap the in-flight round trips.
       * segment fallback (exotic hop): host unfold + embedder.embed.
     """
     logger = get_logger()
@@ -72,7 +76,8 @@ def build_embeddings(
 
     if packed:
         for i, name, z in embedder.embed_stream(
-            dataset, hop_samples, num_workers=num_workers, stats=stats
+            dataset, hop_samples, num_workers=num_workers, stats=stats,
+            depth=depth,
         ):
             if z.shape[0] == 0:
                 print("load %s error!" % name)
@@ -155,9 +160,11 @@ def main() -> None:
 
     os.makedirs(dir_for_db, exist_ok=True)
     tm_0 = time.time()
+    depth = int(os.environ.get("PFANN_BUILD_DEPTH", "8"))
     with open(os.path.join(dir_for_db, "embeddings"), "wb") as emb_file:
         out = build_embeddings(
-            embedder, dataset, emb_file, hop_size=params["hop_size"]
+            embedder, dataset, emb_file, hop_size=params["hop_size"],
+            depth=depth,
         )
     landmark_key, total = out["landmark_key"], out["total"]
     wall = time.time() - tm_0

@@ -244,12 +244,15 @@ class Embedder:
                 yield i, name, z
 
         tm_decode = time.time()
-        # prefetch window: ~3 dispatch batches of songs so decode stays
-        # ahead of the in-flight device round trips without buffering
-        # the corpus (chunk segments / ~60 per song is a good proxy)
+        # prefetch window: ~depth+1 dispatch batches of songs so decode
+        # stays ahead of every in-flight device round trip without
+        # buffering the corpus (chunk segments / ~60 per song is a good
+        # proxy for songs per dispatch batch)
         for i, name, sig, n_seg in dataset.iterate_raw(
             num_workers=num_workers,
-            prefetch=max(4 * num_workers, 3 * max(self.chunk // 40, 1)),
+            prefetch=max(
+                4 * num_workers, (depth + 1) * max(self.chunk // 40, 1)
+            ),
         ):
             st["decode_s"] += time.time() - tm_decode
             if n_seg <= 0:
