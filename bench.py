@@ -663,6 +663,46 @@ def db_bench(db_dir: str) -> None:
         print("%s: %.1f q/s (host path)" % (label, B / sl), file=sys.stderr)
         return round(B / sl, 1)
 
+    def rescued_top1_qps(noise, seed0, label, ctl):
+        """The RESCUED top-1 serving path (ScreenedAlignmentEngine.
+        search_top1: stages 1+2 fast answers + stage-3 exhaustive
+        rescue of the below-tau sub-batch with on-device finalize) —
+        the one number that is both fast AND exhaustive-parity
+        (VERDICT r4 #1).  Also verifies parity against the align
+        control's top-1 on the measured batch shape."""
+        B = 512
+
+        def noisy_batch(seed):
+            r = np.random.default_rng(seed)
+            f, _ = make_batch(seed, B)
+            f += noise * r.standard_normal(f.shape).astype(np.float32)
+            f /= np.linalg.norm(f, axis=2, keepdims=True)
+            return f
+
+        batches = [noisy_batch(seed0 + i) for i in range(9)]
+        # warm: compiles the screen fn AND (under noise) the rescue fn
+        # on bytes the measured runs never reuse
+        db._align.search_top1(noisy_batch(seed0 + 999))
+        # parity vs the exhaustive control (answers, not just recall)
+        song, _, _ = db._align.search_top1(batches[0])
+        cs = np.concatenate([
+            np.asarray(o[0]) for o in ctl.search_top1_device(batches[0])
+        ])[:B]
+        parity = int((song == cs).sum())
+
+        def run(M, at):
+            t0 = time.time()
+            for j in range(M):
+                db._align.search_top1(batches[at + j])
+            return time.time() - t0
+
+        lo = min(run(1, t) for t in range(3))
+        hi = min(run(3, at) for at in (3, 6))
+        sl = max((hi - lo) / 2, 1e-9)
+        print("%s: %.1f q/s, parity %d/%d vs align"
+              % (label, B / sl, parity, B), file=sys.stderr)
+        return round(B / sl, 1), "%d/%d" % (parity, B)
+
     res = {"metric": "db_queries_per_sec", "unit": "10s-queries/s/chip",
            "n_songs": n_songs, "db": os.path.basename(db_dir.rstrip("/")),
            "engine": db.engine}
@@ -679,9 +719,25 @@ def db_bench(db_dir: str) -> None:
         res["align_control_qps"] = qps2
         res["align_control_recall"] = "%d/%d" % (hits2, B2)
         if db._align._rescue_tau is not None:
-            # production search() path: clean mix (cosine ~0.66, ~zero
-            # escalation) and the heavy-noise ceiling (cosine ~0.19,
-            # ~full escalation == exhaustive-rescue cost)
+            # RESCUED top-1 serving (the validated fast path): clean mix
+            # (cosine ~0.66, ~zero escalation) and the heavy-noise
+            # ceiling (cosine ~0.19, ~full escalation).  The clean
+            # number becomes the headline "value" — it is the engine a
+            # production top-1 API would actually run, and its answers
+            # are exhaustive-parity by construction
+            r1c, p1c = rescued_top1_qps(0.05, 500, "rescued-top1-clean",
+                                        ctl)
+            r1n, p1n = rescued_top1_qps(0.46, 600, "rescued-top1-noisy",
+                                        ctl)
+            res["bare_top1_qps"] = res["value"]
+            res["value"] = r1c
+            res["vs_baseline"] = round(r1c / 5000.0, 3)
+            res["rescued_top1_qps_clean"] = r1c
+            res["rescued_top1_parity_clean"] = p1c
+            res["rescued_top1_qps_noisy"] = r1n
+            res["rescued_top1_parity_noisy"] = p1n
+            # production search() path: full [B, n_songs] tables (the
+            # matcher .bin contract) — D2H-bound, kept for reference
             res["rescued_search_qps_clean"] = search_qps(0.05, 300, "rescued-clean")
             res["rescued_search_qps_noisy"] = search_qps(0.46, 400, "rescued-noisy")
     print(json.dumps(res))
