@@ -31,7 +31,7 @@ apply_platform_override()  # PFANN_PLATFORM=cpu dev runs / compile cache
 
 
 def main(sharded: bool = False, scale: int = 0,
-         batch_sweep: bool = False) -> None:
+         batch_sweep: bool = False, int8_exact: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +59,17 @@ def main(sharded: bool = False, scale: int = 0,
             k=int(os.environ.get("BENCH_SCREEN_K", 4)),
             top_m=int(os.environ.get("BENCH_SCREEN_M", 32)),
             # 'int8' runs stage 1 on the MXU's double-rate int8 path
-            coarse_dtype=os.environ.get("BENCH_SCREEN_DTYPE") or None,
+            coarse_dtype=(
+                "int8" if int8_exact
+                else os.environ.get("BENCH_SCREEN_DTYPE") or None
+            ),
+            # --int8-exact: the 300k-500k-track single-chip regime — the
+            # resident exact layout is int8 (1 B/elem vs bf16's 2; an
+            # f32/bf16 layout would not fit v5e HBM past ~350k tracks)
+            # with recall guarded by the sanity assert below and the f32
+            # winner rescore in the table paths
+            exact_dtype="int8" if int8_exact else None,
+            rescue_threshold=0.4 if int8_exact else None,
         )
         map_song = np.asarray
     elif sharded:
@@ -225,8 +235,15 @@ def main(sharded: bool = False, scale: int = 0,
     if sharded:
         result["mode"] = "sharded-1shard"
     if scale:
-        result["mode"] = "screened"
+        result["mode"] = "screened-int8exact" if int8_exact else "screened"
         result["n_songs"] = n_songs
+        result["recall_sanity"] = "%d/%d" % (hits, B)
+        if int8_exact:
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                result["hbm_bytes_in_use"] = int(ms.get("bytes_in_use", 0))
+            except Exception:
+                pass
         print(json.dumps(result))
         return
     try:
@@ -897,4 +914,5 @@ if __name__ == "__main__":
         sharded="--sharded" in _sys.argv,
         scale=_scale,
         batch_sweep="--batch-sweep" in _sys.argv,
+        int8_exact="--int8-exact" in _sys.argv,
     )

@@ -145,10 +145,19 @@ def alignment_core(
             jnp.transpose(argoff[:n_songs]),
         )
 
-    scores = jnp.matmul(
-        db.astype(score_dtype), qsT.astype(score_dtype),
-        preferred_element_type=score_dtype,
-    ).reshape(N, S, B)
+    if db.dtype == jnp.int8 and queries.dtype == jnp.int8:
+        # int8 exact stage (screen.py): keep the operands int8 so the
+        # matmul rides the MXU's double-rate int8 path; accumulate int32
+        # (the diagonal sums cast to f32 below — exact up to ~2^24, and
+        # quantization noise dominates far before that matters)
+        scores = jnp.matmul(
+            db, qsT, preferred_element_type=jnp.int32
+        ).reshape(N, S, B)
+    else:
+        scores = jnp.matmul(
+            db.astype(score_dtype), qsT.astype(score_dtype),
+            preferred_element_type=score_dtype,
+        ).reshape(N, S, B)
 
     N0 = n_songs * R
 

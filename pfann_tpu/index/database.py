@@ -205,6 +205,10 @@ class Database:
                 # stage-1 dtype: 'int8' doubles MXU rate / halves coarse
                 # HBM reads; survivors are always rescored exactly
                 coarse_dtype=self.params.get("screen_coarse_dtype"),
+                # exact-stage storage: 'int8' quarters resident HBM vs
+                # f32 (500k-track single-chip regime) with an f32 winner
+                # rescore from the host matrix
+                exact_dtype=self.params.get("screen_exact_dtype"),
                 # honor the user's explicit 'exact'/'approx' top-M knob
                 # (same key the topk engine reads above)
                 backend=self.params.get("backend", "auto"),

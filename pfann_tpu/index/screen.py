@@ -112,10 +112,21 @@ def quantize_queries_int8(qc: jnp.ndarray) -> jnp.ndarray:
     query filters [B, Sc, d].  Per-QUERY scales are exact for stage 1:
     the top-M selection is a per-query argsort over songs, invariant to a
     positive per-query factor."""
+    return quantize_queries_int8_scaled(qc)[0]
+
+
+def quantize_queries_int8_scaled(
+    qc: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Like :func:`quantize_queries_int8` but also returns the per-query
+    DEQUANTIZATION scale [B] (amax/127, i.e. int32 accumulations times
+    scale * db_scale recover approximate f32 inner products) — the exact
+    int8 stage needs real score units for the rescue cut and the
+    returned best score."""
     qc = qc.astype(jnp.float32)
     amax = jnp.max(jnp.abs(qc), axis=(1, 2), keepdims=True)
     s = 127.0 / jnp.maximum(amax, 1e-30)
-    return jnp.round(qc * s).astype(jnp.int8)
+    return jnp.round(qc * s).astype(jnp.int8), (amax[:, 0, 0] / 127.0)
 
 
 def screen_geometry(lmax: int, n_songs: int, pad: int, k: int):
@@ -208,6 +219,7 @@ def screen_core(
     counts=None,
     q_valid=None,
     with_stats: bool = False,
+    exact_scale: float = 1.0,
 ):
     """The two-stage screened query (trace-time building block, shared
     by the single-device engine and the per-shard body of the sharded
@@ -227,6 +239,13 @@ def screen_core(
     whose faiss candidate generation is ip-based regardless of alpha
     (database.py:121); only the rerank sees the transform.
     """
+    if score_alpha != 0.0 and db3.dtype == jnp.int8:
+        # the alpha transform needs real inner products per window; the
+        # int8 exact stage only recovers score UNITS after the sum
+        raise NotImplementedError(
+            "score_alpha requires a float exact stage (screen_exact_dtype"
+            " != 'int8')"
+        )
     Sc = -(-S // k)
     # ---- stage 1: coarse screen over the pooled copy.  Collapse the S
     # query windows onto their Sc coarse diagonals (sum of windows
@@ -270,12 +289,25 @@ def screen_core(
             [vals_c[:, 0], vals_c[:, -1], mu, jnp.sqrt(var)], axis=1
         )
 
-    # ---- stage 2: exact alignment over the surviving regions
+    # ---- stage 2: exact alignment over the surviving regions.  With an
+    # int8 exact layout (the 500k-track HBM regime) the rescore runs the
+    # MXU's double-rate int8 path on per-query-quantized filters and the
+    # int32 alignment sums are dequantized back to approximate mean-IP
+    # units (db_scale * per-query scale) — ranking within a query is
+    # scale-invariant, so only the *units* of `best` are approximate
     g = jnp.take(db3, cand, axis=0)  # [B, M, R, d]
-    scores = jnp.einsum(
-        "bmrd,bsd->bmrs", g, qpad.astype(dt),
-        preferred_element_type=dt,
-    )
+    exact_int8 = db3.dtype == jnp.int8
+    if exact_int8:
+        qq, qscale = quantize_queries_int8_scaled(qpad)
+        scores = jnp.einsum(
+            "bmrd,bsd->bmrs", g, qq, preferred_element_type=jnp.int32,
+        )
+        dequant = exact_scale * qscale  # [B]
+    else:
+        scores = jnp.einsum(
+            "bmrd,bsd->bmrs", g, qpad.astype(dt),
+            preferred_element_type=dt,
+        )
     scores = jnp.pad(scores, ((0, 0), (0, 0), (0, S), (0, 0)))
 
     if score_alpha != 0.0:
@@ -298,11 +330,14 @@ def screen_core(
     align = slice_contrib(0)
     for i in range(1, S):
         align = align + slice_contrib(i)
-    best = jnp.max(align, axis=2)  # [B, M]
+    best = jnp.max(align, axis=2)  # [B, M] — RAW units (argmax below
+    # compares against align, so dequantization must come after)
     offs = jax.lax.broadcasted_iota(jnp.int32, align.shape, 2)
     argoff = jnp.max(
         jnp.where(align >= best[:, :, None], offs, -1), axis=2
     )
+    if exact_int8:
+        best = best * dequant[:, None]
     # invalid survivors (possible only via approx_max_k, above) are
     # neutralized with -inf so no downstream argmax ever selects them;
     # consumers that scatter by cand must additionally filter on
@@ -346,6 +381,7 @@ class ScreenedAlignmentEngine:
         interpret: bool = False,
         score_alpha: float = 0.0,
         rescue_threshold: float | None = None,
+        exact_dtype=None,
     ):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -381,9 +417,43 @@ class ScreenedAlignmentEngine:
         from pfann_tpu.utils.fastcast import host_cast
 
         self.coarse_dtype = coarse_dtype_of(coarse_dtype, score_dtype)
-        self._db3 = jax.device_put(
-            jnp.asarray(host_cast(db3, score_dtype)), device
-        )
+        # exact-stage storage dtype: int8 quarters the resident layout vs
+        # f32 (the 500k-track-on-one-chip regime: ~6 GB at R~96, d=128 —
+        # bf16 would need ~12 GB plus workspace and not fit v5e HBM).
+        # Stage 2 + rescue then rank on int32 accumulations (per-query
+        # scales cancel within a query) and the WINNER's score is
+        # re-computed in f32 from the host embedding matrix — the
+        # "exact stage int8, f32 rescore of the top-1 region" design.
+        self.exact_int8 = exact_dtype in ("int8", jnp.int8)
+        self._db3_scale = 1.0
+        self._emb_host = self._counts_host = self._song_pos_host = None
+        if self.exact_int8:
+            if self.score_alpha != 0.0:
+                raise ValueError(
+                    "score_alpha requires a float exact stage "
+                    "(screen_exact_dtype != 'int8')"
+                )
+            amax = float(np.abs(db3).max()) if db3.size else 0.0
+            amax = amax or 1.0
+            self._db3_scale = amax / 127.0
+            # in-place quantize (db3 is a fresh build_screen_layout
+            # output; avoids a second multi-GB f32 temporary at scale)
+            np.multiply(db3, 127.0 / amax, out=db3)
+            np.rint(db3, out=db3)
+            np.clip(db3, -127, 127, out=db3)
+            self._db3 = jax.device_put(jnp.asarray(db3.astype(np.int8)),
+                                       device)
+            # host-side f32 references for the winner rescore (no copy —
+            # the caller's embedding matrix)
+            self._emb_host = embeddings
+            self._counts_host = np.asarray(counts, np.int64)
+            self._song_pos_host = np.pad(
+                np.cumsum(self._counts_host), (1, 0)
+            )
+        else:
+            self._db3 = jax.device_put(
+                jnp.asarray(host_cast(db3, score_dtype)), device
+            )
         if self.coarse_dtype == jnp.int8:
             coarse = quantize_coarse_int8(coarse)
         else:
@@ -454,7 +524,7 @@ class ScreenedAlignmentEngine:
             M=self.top_m, backend=self.backend, dt=self.score_dtype,
             impl=self.impl, interpret=self.interpret,
             score_alpha=self.score_alpha, pad=self.pad,
-            with_stats=with_stats,
+            with_stats=with_stats, exact_scale=self._db3_scale,
         )
 
         @jax.jit
@@ -472,8 +542,13 @@ class ScreenedAlignmentEngine:
     STAGE2_BYTES_CAP = 4 << 30
 
     def _chunk_for(self, S: int) -> int:
-        itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
-        per_b = self.top_m * (self.R * self.d + (self.R + S) * S) * itemsize
+        itemsize = (1 if self.exact_int8
+                    else 2 if self.score_dtype == jnp.bfloat16 else 4)
+        # int8 gathers are 1 B/elem but the int32 score tensor is 4
+        per_b = self.top_m * (
+            self.R * self.d * itemsize
+            + (self.R + S) * S * (4 if self.exact_int8 else itemsize)
+        )
         cap = max(1, self.STAGE2_BYTES_CAP // max(per_b, 1))
         if self.impl == "pallas":
             from pfann_tpu.index.pallas_align import LANE
@@ -551,8 +626,10 @@ class ScreenedAlignmentEngine:
         key = ("rescue", S)
         if key in self._fns:
             return self._fns[key]
-        impl = "xla" if self.score_alpha != 0.0 else self.impl
+        impl = ("xla" if self.score_alpha != 0.0 or self.exact_int8
+                else self.impl)
         pad = self.pad
+        exact_int8, dscale = self.exact_int8, self._db3_scale
 
         @jax.jit
         def fn(db3, qpad, row_valid, q_valid):
@@ -562,6 +639,17 @@ class ScreenedAlignmentEngine:
                 # last region; db3 has no trailing pad (the Pallas kernel
                 # synthesizes its halo instead)
                 db = jnp.pad(db, ((0, pad), (0, 0)))
+            if exact_int8:
+                # int8 x int8 -> int32 full-layout rescore, dequantized
+                # back to approximate mean-IP units per query
+                qq, qscale = quantize_queries_int8_scaled(qpad)
+                best, argoff = alignment_core(
+                    db, qq,
+                    R=self.R, S=S, n_songs=self.n_pad,
+                    score_dtype=jnp.int32, impl=impl,
+                    interpret=self.interpret,
+                )
+                return best * (dscale * qscale)[:, None], argoff
             return alignment_core(
                 db, qpad,
                 R=self.R, S=S, n_songs=self.n_pad,
@@ -579,8 +667,11 @@ class ScreenedAlignmentEngine:
         AlignmentEngine.SCORE_BYTES_CAP for the XLA impl's materialized
         [N, S, B] score tensor."""
         mb = self.RESCUE_CHUNK
-        if self.impl != "pallas" or self.score_alpha != 0.0:
-            itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
+        if (self.impl != "pallas" or self.score_alpha != 0.0
+                or self.exact_int8):
+            # int8 rescue runs XLA and materializes int32 scores (4 B)
+            itemsize = (4 if self.exact_int8
+                        else 2 if self.score_dtype == jnp.bfloat16 else 4)
             per_b = self.n_pad * self.R * S * itemsize
             mb = max(1, min(mb, (4 << 30) // max(per_b, 1)))
         return mb
@@ -608,6 +699,31 @@ class ScreenedAlignmentEngine:
             bests.append(np.asarray(b)[: len(take), : self.n_songs])
             offs.append(np.asarray(o)[: len(take), : self.n_songs])
         return np.concatenate(bests), np.concatenate(offs)
+
+    def _f32_rescore_winners(
+        self, filters, sub_lens, songs, ts
+    ) -> np.ndarray:
+        """f32 rescore of the top-1 region only (the int8 exact stage's
+        final step): recompute each query's WINNER alignment score sum
+        from the host f32 embedding matrix at the already-decided
+        (song, offset).  B x S x d MACs on host — micro-work next to the
+        device stages; answers/offsets are untouched, only the reported
+        score returns to exact f32 units."""
+        f = np.asarray(filters, dtype=np.float32)
+        out = np.zeros(len(songs), np.float32)
+        emb, sp = self._emb_host, self._song_pos_host
+        for b in range(len(songs)):
+            s = int(songs[b])
+            if s < 0 or s >= len(self._counts_host):
+                continue
+            off = int(ts[b])
+            n = int(sub_lens[b]) if sub_lens is not None else f.shape[1]
+            cnt = int(self._counts_host[s])
+            i0, i1 = max(0, -off), min(n, cnt - off)
+            if i1 > i0:
+                rows = emb[sp[s] + off + i0 : sp[s] + off + i1]
+                out[b] = float(np.sum(rows * f[b, i0:i1]))
+        return out
 
     def _top1_finalize_fn(self):
         """Jitted (best [B, n_pad], argoff [B, n_pad]) -> top-1 triple
@@ -681,12 +797,14 @@ class ScreenedAlignmentEngine:
         best = np.concatenate([np.asarray(o[1]) for o in outs])[:B]
         t = np.concatenate([np.asarray(o[2]) for o in outs])[:B]
         best = best.astype(np.float32)
-        if self._rescue_tau is None or not self.n_songs:
-            return song, best, t
         lens = (
             np.full(B, S, np.int32) if sub_lens is None
             else np.asarray(sub_lens)
         )
+        if self._rescue_tau is None or not self.n_songs:
+            if self.exact_int8:
+                best = self._f32_rescore_winners(qpad, lens, song, t)
+            return song, best, t
         mean = best / np.maximum(lens, 1)
         esc = np.nonzero((mean < self._rescue_tau) & (lens > 0))[0]
         if len(esc):
@@ -705,6 +823,8 @@ class ScreenedAlignmentEngine:
             best[esc] = rb[: len(esc)]
             t = np.array(t, copy=True)
             t[esc] = rt[: len(esc)]
+        if self.exact_int8:
+            best = self._f32_rescore_winners(qpad, lens, song, t)
         return song, best, t
 
     # sigma-normalized coarse winner-vs-cut gap below which a query is
@@ -798,4 +918,15 @@ class ScreenedAlignmentEngine:
                     np.asarray(sub_lens)[esc, None], 1
                 )
                 song_t[esc] = ro - self.pad
+        if self.exact_int8 and self.n_songs:
+            # f32 rescore of each query's winner entry (non-winner table
+            # entries keep dequantized-approximate units, documented)
+            bi = np.arange(B)
+            win = np.argmax(song_score, axis=1)
+            rescored = self._f32_rescore_winners(
+                filters, sub_lens, win, song_t[bi, win]
+            )
+            song_score[bi, win] = rescored / np.maximum(
+                np.asarray(sub_lens), 1
+            )
         return song_score, song_t

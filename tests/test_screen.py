@@ -581,3 +581,71 @@ def test_database_align_pad_from_index_meta(tmp_path):
                             "backend": "exact", "align_pad": 64},
                    hop_size=0.5)
     assert db2._align.pad == 64
+
+
+def test_exact_int8_answers_match_f32():
+    """VERDICT r4 #7: int8 exact stage — answers (song + offset) equal
+    the f32 screen engine's on noisy queries, dequantized scores land
+    within quantization noise, and the winner's reported score is
+    f32-EXACT (host top-1-region rescore)."""
+    rng = np.random.default_rng(17)
+    emb, counts, song_pos = make_db(rng, n_songs=48, min_len=16)
+    S = 12
+    filters, want_song, want_off = noisy_queries(
+        rng, emb, counts, song_pos, n=12, S=S, noise=0.2
+    )
+    sub_lens = np.full(len(filters), S, np.int32)
+    kw = dict(pad=16, k=4, top_m=8, score_dtype=jnp.float32,
+              impl="xla", backend="exact", rescue_threshold=0.4)
+    f32 = ScreenedAlignmentEngine(emb, counts, **kw)
+    q8 = ScreenedAlignmentEngine(emb, counts, exact_dtype="int8", **kw)
+    assert q8._db3.dtype == jnp.int8
+
+    fs, ft = f32.search(filters, sub_lens)
+    qs, qt = q8.search(filters, sub_lens)
+    for b in range(len(filters)):
+        w = int(np.argmax(fs[b]))
+        assert int(np.argmax(qs[b])) == w == want_song[b]
+        assert qt[b, w] == ft[b, w]
+        # winner score is f32-exact (rescored from the host matrix)
+        np.testing.assert_allclose(qs[b, w], fs[b, w], rtol=1e-5)
+    # non-winner survivors: dequantized-approximate (within quant noise)
+    both = (fs != 0) & (qs != 0)
+    np.testing.assert_allclose(qs[both], fs[both], atol=0.03)
+
+    # top-1 serving path: same answers, f32-exact winner score
+    song, best, t = q8.search_top1(filters)
+    fsong, fbest, ftop = f32.search_top1(filters)
+    assert list(song) == list(fsong) == want_song
+    np.testing.assert_array_equal(t, ftop)
+    np.testing.assert_allclose(best, fbest, rtol=1e-5)
+
+
+def test_exact_int8_rescue_winner_drop_regime():
+    """int8 exact stage + stage-3 rescue: in the winner-dropping regime
+    the int8 rescue (int8 full-layout rescore) must recover the same
+    answers as the f32 rescued engine."""
+    rng = np.random.default_rng(18)
+    emb, counts, song_pos = make_db(rng, n_songs=48, min_len=16)
+    S = 12
+    noisy, _, _ = noisy_queries(rng, emb, counts, song_pos, n=12, S=S,
+                                noise=0.46)
+    sub_lens = np.full(len(noisy), S, np.int32)
+    kw = dict(pad=16, k=4, top_m=1, score_dtype=jnp.float32,
+              impl="xla", backend="exact", rescue_threshold=0.4)
+    f32 = ScreenedAlignmentEngine(emb, counts, **kw)
+    q8 = ScreenedAlignmentEngine(emb, counts, exact_dtype="int8", **kw)
+    fs, ft = f32.search(noisy, sub_lens)
+    qs, qt = q8.search(noisy, sub_lens)
+    for b in range(len(noisy)):
+        w = int(np.argmax(fs[b]))
+        assert int(np.argmax(qs[b])) == w
+        assert qt[b, w] == ft[b, w]
+
+
+def test_exact_int8_rejects_alpha():
+    rng = np.random.default_rng(19)
+    emb, counts, _ = make_db(rng, n_songs=8, d=32)
+    with pytest.raises(ValueError, match="screen_exact_dtype"):
+        ScreenedAlignmentEngine(emb, counts, pad=16, exact_dtype="int8",
+                                score_alpha=1.0, impl="xla")
