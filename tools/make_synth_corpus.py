@@ -89,30 +89,73 @@ def synth_note(fam: dict, f0: float, dur: int,
     return (y * env).astype(np.float32)
 
 
-def make_song(rng: np.random.Generator, seconds: float,
-              fam: dict | None = None) -> np.ndarray:
-    """A 'song' in a family: its own note/chord SEQUENCE over the shared
-    scale/timbre/tempo.  The sequence is the fingerprint — alignment
-    voting (NN engine and landmark histogram alike) must tell siblings
-    apart through it."""
-    if fam is None:
-        fam = make_family(rng)
+def make_score(rng: np.random.Generator, seconds: float,
+               fam: dict) -> list:
+    """The symbolic note sequence of a song: [(t, slot, [deg...],
+    [dur...], [amp...])].  Split from the synthesis so COVER songs can
+    replay a family's base score with perturbations (see make_song)."""
     n = int(SR * seconds)
-    out = np.zeros(n + SR, dtype=np.float32)  # slack for note ring-out
+    score = []
     t = 0
     while t < n:
         slot = int(SR * fam["beat"] * rng.uniform(0.85, 1.15))
         notes = rng.choice(36, size=rng.integers(1, 4), replace=False)
-        for deg in notes:
-            dur = min(int(slot * rng.uniform(1.0, 2.2)), out.shape[0] - t)
-            amp = rng.uniform(0.25, 0.7)
+        durs = [int(slot * rng.uniform(1.0, 2.2)) for _ in notes]
+        amps = [float(rng.uniform(0.25, 0.7)) for _ in notes]
+        score.append((t, slot, list(notes), durs, amps))
+        t += slot
+    return score
+
+
+def perturb_score(rng: np.random.Generator, score: list,
+                  sub_prob: float, time_jitter: float) -> list:
+    """A 'cover' of a score: each note independently substituted with
+    probability sub_prob (random scale degree), onsets jittered by up to
+    +-time_jitter seconds, amplitudes redrawn.  Low sub_prob leaves long
+    stretches of the sequence identical across siblings — exactly the
+    regime where 10 s alignment votes start confusing in-family songs
+    (the eval-difficulty knob VERDICT r4 #3 asks for; real-music corpora
+    get this confusability from covers/loops/shared samples)."""
+    out = []
+    for (t, slot, notes, durs, amps) in score:
+        t2 = t + int(SR * rng.uniform(-time_jitter, time_jitter))
+        notes2 = [int(rng.integers(0, 36)) if rng.random() < sub_prob
+                  else d for d in notes]
+        amps2 = [float(rng.uniform(0.25, 0.7)) for _ in notes]
+        out.append((max(t2, 0), slot, notes2, list(durs), amps2))
+    return out
+
+
+def render_score(rng: np.random.Generator, seconds: float, fam: dict,
+                 score: list) -> np.ndarray:
+    n = int(SR * seconds)
+    out = np.zeros(n + SR, dtype=np.float32)  # slack for note ring-out
+    for (t, slot, notes, durs, amps) in score:
+        if t >= n:
+            continue
+        for deg, dur, amp in zip(notes, durs, amps):
+            dur = min(dur, out.shape[0] - t)
             out[t : t + dur] += amp * synth_note(
                 fam, float(fam["scale"][deg]), dur, rng
             )
-        t += slot
     out = out[:n]
     out += 0.015 * rng.standard_normal(n).astype(np.float32)
     return 0.6 * out / max(float(np.abs(out).max()), 1e-9)
+
+
+def make_song(rng: np.random.Generator, seconds: float,
+              fam: dict | None = None,
+              score: list | None = None) -> np.ndarray:
+    """A 'song' in a family: its own note/chord SEQUENCE over the shared
+    scale/timbre/tempo.  The sequence is the fingerprint — alignment
+    voting (NN engine and landmark histogram alike) must tell siblings
+    apart through it.  Passing ``score`` renders that sequence instead
+    (cover-version generation, see perturb_score)."""
+    if fam is None:
+        fam = make_family(rng)
+    if score is None:
+        score = make_score(rng, seconds, fam)
+    return render_score(rng, seconds, fam, score)
 
 
 def make_noise_clip(rng: np.random.Generator, kind: str, seconds: float
@@ -218,6 +261,16 @@ def main() -> None:
                     help="songs per family (shared scale/timbre/tempo); "
                     "db+test share one family pool so every test song "
                     "has in-DB siblings")
+    ap.add_argument("--cover-frac", type=float, default=0.0,
+                    help="fraction of db/test songs rendered as COVERS "
+                    "of their family's base sequence (perturb_score) — "
+                    "the eval-difficulty knob: covers share long "
+                    "stretches of the note sequence, so alignment votes "
+                    "start confusing siblings")
+    ap.add_argument("--cover-sub", type=float, default=0.25,
+                    help="per-note substitution probability of a cover")
+    ap.add_argument("--cover-jitter", type=float, default=0.06,
+                    help="cover onset jitter, seconds")
     ap.add_argument("--seed", type=int, default=3)  # fma_large.py:39
     args = ap.parse_args()
 
@@ -247,17 +300,32 @@ def main() -> None:
     names: dict[str, list[str]] = {}
     i = 0
     fam_at = {"train": 0, "val": 0, "db": 0}
+    base_scores: dict[int, list] = {}  # db-pool family idx -> base score
     for group, count in groups.items():
         pool = pools[group]
         key = "db" if group in ("db", "test") else group
         names[group] = []
         for _ in range(count):
             name = "s%04d.wav" % i
-            fam = pool[fam_at[key] % len(pool)]
+            fam_idx = fam_at[key] % len(pool)
+            fam = pool[fam_idx]
             fam_at[key] += 1
+            score = None
+            if key == "db" and args.cover_frac > 0:
+                if fam_idx not in base_scores:
+                    # the family's first song defines the base sequence
+                    base_scores[fam_idx] = make_score(
+                        rng, args.seconds, fam
+                    )
+                    score = base_scores[fam_idx]
+                elif rng.random() < args.cover_frac:
+                    score = perturb_score(
+                        rng, base_scores[fam_idx],
+                        args.cover_sub, args.cover_jitter,
+                    )
             write_wav(
                 os.path.join(root, "music", name),
-                make_song(rng, args.seconds, fam), SR,
+                make_song(rng, args.seconds, fam, score=score), SR,
             )
             names[group].append(name)
             i += 1
