@@ -53,7 +53,15 @@ class Embedder:
                 jax.random.key(0), jnp.zeros((1, self.model.F, self.model.T))
             )
         )
-        self.variables = ckpt.load_model(model_path, target)
+        # Pin the weights on device ONCE: from_bytes returns host numpy
+        # arrays, and a host-resident pytree argument is re-uploaded on
+        # EVERY jitted call — through the tunneled TPU that is ~68 MB
+        # (flagship f32) per embed dispatch at ~13 MB/s, i.e. ~5 s/call,
+        # and it was the entire "embed-dispatch-bound" DB-build wall of
+        # BENCH_r04_build.json (420 audio-s/s; device-put lifts the same
+        # build >4x).  Device arrays are hashed by handle, not content,
+        # so subsequent dispatches ship only the audio payload.
+        self.variables = jax.device_put(ckpt.load_model(model_path, target))
         mel, model = self.mel, self.model
 
         @jax.jit

@@ -172,3 +172,16 @@ def test_builder_packed_matches_segment_fallback(embedder, tmp_path):
     assert a[0]["total"] == b[0]["total"]
     assert a[0]["stats"]["packed"] and not b[0]["stats"]["packed"]
     np.testing.assert_allclose(a[1], b[1], atol=2e-5)
+
+
+def test_weights_device_resident(embedder):
+    """The loaded checkpoint must be device arrays, not host numpy: a
+    host pytree argument is re-serialized on EVERY jitted dispatch,
+    which through the tunneled TPU re-uploads the full weight payload
+    per call (~68 MB f32 at flagship dims ~= 5 s/call — the r4 DB-build
+    wall, BENCH_r04_build.json)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(embedder.variables)
+    assert leaves, "empty variables"
+    assert all(isinstance(l, jax.Array) for l in leaves)

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-5 eval-difficulty calibration (VERDICT r4 next #3).
+#
+# The family corpus saturated at 100% song top-1 for SNR >= 0 (ACCURACY_r04)
+# where the reference's real-music benchmark sits at 95.60% at SNR 0
+# (/root/reference/tools/fit.py:7) — so "matches reference accuracy" was
+# unfalsifiable.  The difficulty knob is COVER VERSIONS
+# (make_synth_corpus.py --cover-frac/--cover-sub): in-DB siblings that
+# share long stretches of a note sequence, confusing alignment votes the
+# way real corpora's covers/loops/shared samples do.  This script sweeps
+# the per-note substitution probability at a fixed 30k-track distractor
+# mass and reports song top-1 at SNR 0 and -6; pick the sub whose SNR-0
+# lands mid-band (~95%), then build the full eval set at that setting.
+#
+# Prereqs: out/models/flagship trained; out/dbs/flagship_30kbase built
+# (flagship embeddings of the 30k distractor list); out/cal_sub{10,25,45}
+# corpora generated.
+#
+#   nohup bash tools/r05_calibrate.sh > /tmp/cal.log 2>&1 &
+set -e -x
+cd "$(dirname "$0")/.."
+
+NQ=${NQ:-200}
+
+for sub in 10 25 45; do
+  root=out/cal_sub$sub
+  python tools/mk_gentest.py $root gentest_cal$sub --model flagship --snrs -6,0
+  # shard DB (160 songs) embedded by the flagship, merged onto the 30k base
+  python builder.py $root/lists/db.txt out/dbs/cal${sub}_shard out/models/flagship
+  python tools/merge_dbs.py out/dbs/flagship_cal$sub \
+    out/dbs/flagship_30kbase out/dbs/cal${sub}_shard
+  for snr in -6 0; do
+    python genquery.py --params configs/gentest_cal${sub}_snr$snr.json \
+      --len 10 --num $NQ --mode test --out out/queries/cal${sub}_snr$snr --yes
+  done
+  python matcher.py --pairs --batch 128 out/dbs/flagship_cal$sub \
+    out/queries/cal${sub}_snr-6/list.txt out/results/cal${sub}_snr-6.txt \
+    out/queries/cal${sub}_snr0/list.txt  out/results/cal${sub}_snr0.txt
+  for snr in -6 0; do
+    echo "cover_sub=0.$sub snr=$snr"
+    python tools/accuracy.py out/queries/cal${sub}_snr$snr/expected.csv \
+      out/results/cal${sub}_snr${snr}_detail.csv
+  done
+done
+echo CALIBRATE_DONE
