@@ -10,32 +10,47 @@
 # way real corpora's covers/loops/shared samples do.  This script sweeps
 # the per-note substitution probability at a fixed 30k-track distractor
 # mass and reports song top-1 at SNR 0 and -6; pick the sub whose SNR-0
-# lands mid-band (~95%), then build the full eval set at that setting.
+# lands mid-band (~95%), then build the full eval set at that setting
+# (tools/r05_flagship.sh).
+#
+# All three sweep corpora ride ONE shard build + ONE merged DB + ONE
+# matcher process: families never collide across corpora (separate RNG
+# seeds, continuous family space), so co-residence in the DB does not
+# change any corpus's own confusability — and the remote TPU relay pays
+# a multi-minute jit compile PER PROCESS, which dominates small runs.
 #
 # Prereqs: out/models/flagship trained; out/dbs/flagship_30kbase built
 # (flagship embeddings of the 30k distractor list); out/cal_sub{10,25,45}
-# corpora generated.
+# corpora generated (make_synth_corpus.py --cover-frac 1.0 --cover-sub .N).
 #
 #   nohup bash tools/r05_calibrate.sh > /tmp/cal.log 2>&1 &
 set -e -x
 cd "$(dirname "$0")/.."
 
 NQ=${NQ:-200}
+SUBS="10 25 45"
 
-for sub in 10 25 45; do
-  root=out/cal_sub$sub
-  python tools/mk_gentest.py $root gentest_cal$sub --model flagship --snrs -6,0
-  # shard DB (160 songs) embedded by the flagship, merged onto the 30k base
-  python builder.py $root/lists/db.txt out/dbs/cal${sub}_shard out/models/flagship
-  python tools/merge_dbs.py out/dbs/flagship_cal$sub \
-    out/dbs/flagship_30kbase out/dbs/cal${sub}_shard
+cat out/cal_sub10/lists/db.txt out/cal_sub25/lists/db.txt \
+    out/cal_sub45/lists/db.txt > /tmp/cal_all_db.txt
+python builder.py /tmp/cal_all_db.txt out/dbs/cal_shard out/models/flagship
+python tools/merge_dbs.py out/dbs/flagship_cal \
+  out/dbs/flagship_30kbase out/dbs/cal_shard
+
+pairs=()
+for sub in $SUBS; do
+  python tools/mk_gentest.py out/cal_sub$sub gentest_cal$sub \
+    --model flagship --snrs=-6,0
   for snr in -6 0; do
     python genquery.py --params configs/gentest_cal${sub}_snr$snr.json \
       --len 10 --num $NQ --mode test --out out/queries/cal${sub}_snr$snr --yes
+    pairs+=("out/queries/cal${sub}_snr$snr/list.txt"
+            "out/results/cal${sub}_snr$snr.txt")
   done
-  python matcher.py --pairs --batch 128 out/dbs/flagship_cal$sub \
-    out/queries/cal${sub}_snr-6/list.txt out/results/cal${sub}_snr-6.txt \
-    out/queries/cal${sub}_snr0/list.txt  out/results/cal${sub}_snr0.txt
+done
+
+python matcher.py --pairs --batch 128 out/dbs/flagship_cal "${pairs[@]}"
+
+for sub in $SUBS; do
   for snr in -6 0; do
     echo "cover_sub=0.$sub snr=$snr"
     python tools/accuracy.py out/queries/cal${sub}_snr$snr/expected.csv \
