@@ -43,10 +43,20 @@ def main() -> None:
     ap.add_argument("--dataset", default="synth2s")
     ap.add_argument("--train-frac", type=float, default=0.5)
     ap.add_argument("--out", default="out/ensemble")
+    ap.add_argument("--db", default=None,
+                    help="DB dir whose songList defines the track-id "
+                    "space (default: out/dbs/<model>_<base dataset> "
+                    "with query-length suffixes stripped, matching "
+                    "testall.sh db_name)")
     args = ap.parse_args()
 
-    songlist = os.path.join("out", "dbs",
-                            "%s_synth" % args.model, "songList.txt")
+    base = args.dataset
+    for suffix in ("2s", "3s", "5s"):
+        if base == "synth" + suffix:
+            base = "synth"
+    db_dir = args.db or os.path.join("out", "dbs",
+                                     "%s_%s" % (args.model, base))
+    songlist = os.path.join(db_dir, "songList.txt")
     os.makedirs(args.out, exist_ok=True)
 
     nn, lm = {}, {}

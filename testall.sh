@@ -21,6 +21,11 @@ db_list() {
     [synth2s]=out/synth_dataset/lists/db.txt
     [synth3s]=out/synth_dataset/lists/db.txt
     [synth5s]=out/synth_dataset/lists/db.txt
+    # round-5 flagship eval: both query-length sets share the merged
+    # 31.7k-track DB's own song list (tools/r05_flagship.sh), so the
+    # landmark arm indexes the identical corpus
+    [r5]=out/dbs/flagship_r5/songList.txt
+    [r5m]=out/dbs/flagship_r5/songList.txt
   )
   if [[ -z "${lists[$DATASET]:-}" ]]; then
     echo "$DATASET is not a supported dataset" >&2
@@ -44,6 +49,7 @@ db_name() {
   # query-length variants share their base dataset's DB (synth2s -> synth)
   case "$1" in
     synth2s|synth3s|synth5s) echo synth;;
+    r5m) echo r5;;
     *) echo "$1";;
   esac
 }

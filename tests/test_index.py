@@ -207,7 +207,10 @@ def test_merge_dbs(tmp_path):
         with open(os.path.join(sdir, "songList.txt"), "w") as f:
             f.write("".join("sh%d_%d.wav\n" % (k, i)
                             for i in range(n_songs)))
-        write_index_meta(sdir, d=8)
+        # shard 0 carries a build-time layout pad (indexer.max_query_sec
+        # contract) — the merge must not drop it
+        write_index_meta(sdir, d=8,
+                         meta={"align_pad": 48} if k == 0 else None)
         if k == 0:
             with open(os.path.join(sdir, "configs.json"), "w") as f:
                 json.dump({"indexer": {"top_k": 4}}, f)
@@ -220,6 +223,8 @@ def test_merge_dbs(tmp_path):
     assert info["n_songs"] == 7
     assert info["ntotal"] == embs[0].shape[0] + embs[1].shape[0]
     assert os.path.exists(os.path.join(out, "configs.json"))
+    with open(os.path.join(out, "index_meta.json")) as f:
+        assert json.load(f).get("align_pad") == 48
 
     database = Database(out, {"top_k": 4, "backend": "exact"}, hop_size=0.5)
     assert database.songList[:2] == ["sh0_0.wav", "sh0_1.wav"]

@@ -69,7 +69,16 @@ def merge_dbs(out_dir: str, src_dirs: list) -> dict:
             ntotal += rows
             n_songs += len(names)
 
-    write_index_meta(out_dir, d=d, meta={"ntotal": ntotal})
+    merged_meta = {"ntotal": ntotal}
+    # carry forward build-time layout knobs: align_pad sizes the
+    # alignment layout for the longest query the DB was built to serve
+    # (indexer.max_query_sec -> builder.py); dropping it on merge would
+    # silently demote long queries to the 320x-slower topk fallback.
+    # MAX across shards keeps every shard's contract.
+    pads = [int(m["align_pad"]) for m in metas if m.get("align_pad")]
+    if pads:
+        merged_meta["align_pad"] = max(pads)
+    write_index_meta(out_dir, d=d, meta=merged_meta)
     for name in ("configs.json", "model.msgpack"):
         src = os.path.join(src_dirs[0], name)
         if os.path.exists(src):
