@@ -25,27 +25,33 @@ cd "$(dirname "$0")/.."
 COVER_SUB=${COVER_SUB:?set COVER_SUB=0.NN from tools/r05_calibrate.sh}
 NQ10=${NQ10:-2000}
 NQ60=${NQ60:-400}
+COVER_JITTER=${COVER_JITTER:-0.06}
 SNRS="-6 -4 -2 0 2 4 6 8"
+# corpus roots are overridable so sub-specific corpora generated during
+# the calibration window can be slotted in without renaming (db.txt
+# records root-relative paths)
+R5_ROOT=${R5_ROOT:-out/synth_r5}
+R5M_ROOT=${R5M_ROOT:-out/synth_r5m}
 
 # --- corpora (host synth; skip if already generated) -------------------
-if [ ! -f out/synth_r5/lists/db.txt ]; then
-  python tools/make_synth_corpus.py --root out/synth_r5 \
+if [ ! -f "$R5_ROOT/lists/db.txt" ]; then
+  python tools/make_synth_corpus.py --root "$R5_ROOT" \
     --train-songs 0 --val-songs 0 --db-songs 1500 --test-songs 500 \
     --seconds 30 --family-size 4 --cover-frac 1.0 \
-    --cover-sub "$COVER_SUB" --seed 71
+    --cover-sub "$COVER_SUB" --cover-jitter "$COVER_JITTER" --seed 71
 fi
-if [ ! -f out/synth_r5m/lists/db.txt ]; then
-  python tools/make_synth_corpus.py --root out/synth_r5m \
+if [ ! -f "$R5M_ROOT/lists/db.txt" ]; then
+  python tools/make_synth_corpus.py --root "$R5M_ROOT" \
     --train-songs 0 --val-songs 0 --db-songs 120 --test-songs 40 \
     --seconds 90 --family-size 4 --cover-frac 1.0 \
-    --cover-sub "$COVER_SUB" --seed 72
+    --cover-sub "$COVER_SUB" --cover-jitter "$COVER_JITTER" --seed 72
 fi
-python tools/mk_gentest.py out/synth_r5 gentest_r5 --model flagship
-python tools/mk_gentest.py out/synth_r5m gentest_r5m --model flagship
+python tools/mk_gentest.py "$R5_ROOT" gentest_r5 --model flagship
+python tools/mk_gentest.py "$R5M_ROOT" gentest_r5m --model flagship
 
 # --- one shard build + merge (one process: the tunneled TPU pays a
 # multi-minute jit compile per process) ---------------------------------
-cat out/synth_r5/lists/db.txt out/synth_r5m/lists/db.txt > /tmp/r5_shard.txt
+cat "$R5_ROOT/lists/db.txt" "$R5M_ROOT/lists/db.txt" > /tmp/r5_shard.txt
 python builder.py /tmp/r5_shard.txt out/dbs/r5_shard out/models/flagship
 python tools/merge_dbs.py out/dbs/flagship_r5 \
   out/dbs/flagship_30kbase out/dbs/r5_shard
