@@ -201,10 +201,29 @@ class Embedder:
     def embed_songs(
         self, signals: list[np.ndarray], counts: list[int], hop: int
     ) -> list[np.ndarray]:
-        """Convenience dispatch+gather (see embed_songs_device)."""
-        return self.gather_songs(
-            self.embed_songs_device(signals, counts, hop)
-        )
+        """Convenience dispatch+gather (see embed_songs_device), split
+        into window-budget-bounded device calls: callers batch by ITEM
+        count (matcher --batch), but device memory scales with TOTAL
+        windows x model activations — 128 packed 60 s queries is 15,232
+        segments, a 22 GB XLA program that OOMs 16 GB HBM (measured).
+        chunk*4 windows (~2k at the default 512) keeps the conv stack
+        under ~4.5 GB beside a resident DB layout.  Groups share one
+        padded batch shape (pad_b=G) so the relay compiles each (G, L)
+        bucket once."""
+        if not signals:
+            return []
+        budget = self.chunk * 4
+        G = max(1, budget // max(max(counts), 1))
+        if len(signals) <= G:
+            return self.gather_songs(
+                self.embed_songs_device(signals, counts, hop)
+            )
+        out: list[np.ndarray] = []
+        for j in range(0, len(signals), G):
+            out.extend(self.gather_songs(self.embed_songs_device(
+                signals[j : j + G], counts[j : j + G], hop, pad_b=G,
+            )))
+        return out
 
     def embed_stream(self, dataset, hop: int, num_workers: int = 4,
                      depth: int = 2, stats: dict | None = None):

@@ -185,3 +185,23 @@ def test_weights_device_resident(embedder):
     leaves = jax.tree_util.tree_leaves(embedder.variables)
     assert leaves, "empty variables"
     assert all(isinstance(l, jax.Array) for l in leaves)
+
+
+def test_embed_songs_window_budget(embedder):
+    """embed_songs must split item batches whose TOTAL window count
+    exceeds the device budget (matcher --batch counts items; 128 packed
+    60 s queries = 15,232 segments = a 22 GB XLA program on 16 GB HBM)
+    — grouped dispatch results must equal the single-dispatch ones."""
+    hop = 500
+    sigs = [_sig(100 + i, 3.0) for i in range(12)]
+    counts = [(s.shape[0] - 1000) // hop + 1 for s in sigs]
+    # budget = chunk*4 = 256 windows at the fixture's chunk=64; with
+    # 5 windows each, G = 51 > 12 -> force grouping via a small chunk
+    embedder_small = Embedder.__new__(Embedder)
+    embedder_small.__dict__.update(embedder.__dict__)
+    embedder_small.chunk = 4  # budget 16 windows -> G = 3
+    grouped = embedder_small.embed_songs(sigs, counts, hop)
+    single = embedder.embed_songs(sigs, counts, hop)
+    assert len(grouped) == len(single) == 12
+    for g, s in zip(grouped, single):
+        np.testing.assert_allclose(g, s, rtol=0, atol=1e-5)
