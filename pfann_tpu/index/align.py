@@ -131,19 +131,30 @@ def alignment_core(
     qsT = jnp.transpose(queries, (2, 1, 0)).reshape(d, S * B)
 
     if impl == "pallas":
-        from pfann_tpu.index.pallas_align import PALLAS_G, pallas_alignment_reduce
+        from pfann_tpu.index.pallas_align import (
+            HALO,
+            PALLAS_G,
+            pallas_alignment_reduce,
+        )
 
         if score_alpha != 0.0:
             raise NotImplementedError(
                 "score_alpha requires the XLA alignment impl"
             )
-        best, argoff = pallas_alignment_reduce(
-            db, qsT.astype(db.dtype), S=S, R=R, G=PALLAS_G, interpret=interpret
-        )
-        return (
-            jnp.transpose(best[:n_songs]),
-            jnp.transpose(argoff[:n_songs]),
-        )
+        if S <= HALO + 1:
+            best, argoff = pallas_alignment_reduce(
+                db, qsT.astype(db.dtype), S=S, R=R, G=PALLAS_G,
+                interpret=interpret
+            )
+            return (
+                jnp.transpose(best[:n_songs]),
+                jnp.transpose(argoff[:n_songs]),
+            )
+        # the fused kernel's per-block zero halo is fixed at 32 rows
+        # (~16 s queries); MIREX-length queries (60 s = 119 windows)
+        # fall through to the XLA path — they reach here only through
+        # the stage-3 rescue of a long-query layout (align_pad >= S-1),
+        # which chunks the [N, S, B] score tensor at 4 GiB
 
     if db.dtype == jnp.int8 and queries.dtype == jnp.int8:
         # int8 exact stage (screen.py): keep the operands int8 so the

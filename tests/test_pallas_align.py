@@ -84,3 +84,33 @@ def test_engine_pallas_layout_alignment():
             db_p2[s * R_p2 + 8 : s * R_p2 + 8 + counts[s]],
             emb[song_pos[s] : song_pos[s + 1]],
         )
+
+
+def test_alignment_core_pallas_long_query_fallback():
+    """alignment_core(impl='pallas') with S > HALO+1 (a MIREX-length
+    query against an align_pad layout) must fall back to the XLA path
+    instead of tripping the kernel's fixed-halo assert — measured crash:
+    60 s (S=119) stage-3 rescue on the r5 eval DB."""
+    from pfann_tpu.index.align import alignment_core
+
+    rng = np.random.default_rng(1)
+    d, S, pad = 128, pa.HALO + 9, 48
+    counts = np.asarray([50, 44, 61])
+    emb = rng.standard_normal((int(counts.sum()), d)).astype(np.float32)
+    db, R = build_uniform_layout(
+        emb, counts, pad=pad, round_r_to=8, pad_songs_to=pa.PALLAS_G,
+        trailing_pad=False,
+    )
+    qs = jnp.asarray(
+        rng.standard_normal((4, S, d)).astype(np.float32) * 0.2
+    )
+    bp, op = alignment_core(
+        jnp.asarray(db), qs, R=R, S=S, n_songs=3, impl="pallas",
+        score_dtype=jnp.float32,
+    )
+    bx, ox = alignment_core(
+        jnp.asarray(db), qs, R=R, S=S, n_songs=3, impl="xla",
+        score_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(bx), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ox))
