@@ -156,6 +156,22 @@ def alignment_core(
         # the stage-3 rescue of a long-query layout (align_pad >= S-1),
         # which chunks the [N, S, B] score tensor at 4 GiB
 
+    # the XLA diagonal slices read rows [i, n_songs*R + i) for i < S:
+    # layouts built for the Pallas kernel carry no trailing tail (the
+    # kernel zero-extends per block in VMEM), so a long-query fallback
+    # from the branch above would run off the end — zero-extend here
+    # (zero rows contribute zero score; ~S rows of HBM, trivial)
+    need = n_songs * R + S - 1 - N
+    if need > 0:
+        db = jnp.concatenate(
+            [db, jnp.zeros((need, d), db.dtype)], axis=0
+        )
+        if row_valid is not None:
+            row_valid = jnp.concatenate(
+                [row_valid, jnp.zeros((need,), row_valid.dtype)]
+            )
+        N += need
+
     if db.dtype == jnp.int8 and queries.dtype == jnp.int8:
         # int8 exact stage (screen.py): keep the operands int8 so the
         # matmul rides the MXU's double-rate int8 path; accumulate int32

@@ -104,13 +104,21 @@ def test_alignment_core_pallas_long_query_fallback():
     qs = jnp.asarray(
         rng.standard_normal((4, S, d)).astype(np.float32) * 0.2
     )
-    bp, op = alignment_core(
-        jnp.asarray(db), qs, R=R, S=S, n_songs=3, impl="pallas",
-        score_dtype=jnp.float32,
-    )
-    bx, ox = alignment_core(
-        jnp.asarray(db), qs, R=R, S=S, n_songs=3, impl="xla",
-        score_dtype=jnp.float32,
-    )
-    np.testing.assert_allclose(np.asarray(bp), np.asarray(bx), atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(op), np.asarray(ox))
+    # n_songs = ALL padded slots (how the screen rescue calls it): the
+    # pallas-built layout then has ZERO trailing rows beyond
+    # n_songs*R, so the XLA fallback must zero-extend before slicing
+    # (second measured crash: (N, B) + (N-1, B) broadcast error)
+    n_slots = db.shape[0] // R
+    assert n_slots * R == db.shape[0]
+    for ns in (3, n_slots):
+        bp, op = alignment_core(
+            jnp.asarray(db), qs, R=R, S=S, n_songs=ns, impl="pallas",
+            score_dtype=jnp.float32,
+        )
+        bx, ox = alignment_core(
+            jnp.asarray(db), qs, R=R, S=S, n_songs=ns, impl="xla",
+            score_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(np.asarray(bp), np.asarray(bx),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(op), np.asarray(ox))
