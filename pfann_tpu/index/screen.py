@@ -667,8 +667,15 @@ class ScreenedAlignmentEngine:
         AlignmentEngine.SCORE_BYTES_CAP for the XLA impl's materialized
         [N, S, B] score tensor."""
         mb = self.RESCUE_CHUNK
+        from pfann_tpu.index.pallas_align import HALO
+
         if (self.impl != "pallas" or self.score_alpha != 0.0
-                or self.exact_int8):
+                or self.exact_int8 or S > HALO + 1):
+            # S > HALO+1: alignment_core silently falls back from the
+            # fused kernel to XLA for queries beyond the Pallas halo
+            # (60 s = 119 windows), so the XLA score-tensor cap must
+            # apply there too — without it a 128-wide rescue is a
+            # [N, S, B] bf16 tensor of ~316 GB (measured OOM)
             # int8 rescue runs XLA and materializes int32 scores (4 B)
             itemsize = (4 if self.exact_int8
                         else 2 if self.score_dtype == jnp.bfloat16 else 4)

@@ -508,8 +508,13 @@ class ShardedDatabase:
         XLA alignment impl materializes a per-shard [songs_max*R, S, B]
         score tensor — cap it at 4 GiB like ScreenedAlignmentEngine's
         _rescue_chunk (the Pallas kernel streams and needs no cap)."""
+        from pfann_tpu.index.pallas_align import HALO
+
         mb = 128
-        if self.impl != "pallas":
+        if self.impl != "pallas" or S > HALO + 1:
+            # S > HALO+1 silently falls back to XLA inside
+            # alignment_core (queries beyond the fused kernel's halo),
+            # so the cap must apply there too
             itemsize = 2 if self._db.dtype == jnp.bfloat16 else 4
             per_b = self.songs_max * self.R * S * itemsize
             mb = max(1, min(mb, (4 << 30) // max(per_b, 1)))

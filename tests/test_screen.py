@@ -649,3 +649,26 @@ def test_exact_int8_rejects_alpha():
     with pytest.raises(ValueError, match="screen_exact_dtype"):
         ScreenedAlignmentEngine(emb, counts, pad=16, exact_dtype="int8",
                                 score_alpha=1.0, impl="xla")
+
+
+def test_rescue_chunk_caps_pallas_long_queries():
+    """The 4 GiB XLA score-tensor cap must also fire on a
+    Pallas-configured engine when S exceeds the fused kernel's halo:
+    alignment_core silently falls back to XLA there, and an uncapped
+    128-wide 60 s rescue is a ~316 GB [N, S, B] tensor (measured OOM
+    on the r5 eval DB)."""
+    from pfann_tpu.index.pallas_align import HALO
+
+    rng = np.random.default_rng(5)
+    emb, counts, song_pos = make_db(rng, min_len=16)
+    scr = ScreenedAlignmentEngine(
+        emb, counts, pad=16, k=4, top_m=8, score_dtype=jnp.bfloat16,
+        impl="xla", backend="exact",
+    )
+    # pretend the engine rides the fused kernel (impl only gates the
+    # chunk policy here; no dispatch happens)
+    scr.impl = "pallas"
+    assert scr._rescue_chunk(S=19) == scr.RESCUE_CHUNK
+    long_s = HALO + 88  # 60 s = 119 windows
+    cap = (4 << 30) // (scr.n_pad * scr.R * long_s * 2)
+    assert scr._rescue_chunk(S=long_s) == max(1, min(scr.RESCUE_CHUNK, cap))
