@@ -15,7 +15,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from common import extract_ans, read_song_ids  # noqa: E402
+from common import _base, extract_ans, read_song_ids, song_row  # noqa: E402
 
 
 def main():
@@ -27,19 +27,20 @@ def main():
     args = args.parse_args()
 
     gt = dict(extract_ans(args.groundtruth))
-    pr = extract_ans(args.predict)
-    song_ids = read_song_ids(args.songlist)
+    pr = extract_ans(args.predict, raw_answers=True)
+    song_ids, n_songs = read_song_ids(args.songlist)
 
     sco_bin = np.fromfile(args.predict + ".bin", dtype=np.float32)
-    sco_bin = sco_bin.reshape([-1, len(song_ids), 2])
+    sco_bin = sco_bin.reshape([-1, n_songs, 2])
 
     scores = []
     for i, (query, ans) in enumerate(pr):
         if query not in gt:
             print("query %s in prediction file not found!!" % query)
             raise SystemExit(1)
-        if ans in song_ids:
-            scores.append((sco_bin[i, song_ids[ans], 0], ans == gt[query]))
+        row = song_row(song_ids, ans)
+        if row is not None:
+            scores.append((sco_bin[i, row, 0], _base(ans) == gt[query]))
         else:  # matcher "error" row (undecodable / unmatchable query)
             scores.append((0.0, False))
     np.save(args.out, np.array(scores, dtype=np.float32))
