@@ -69,7 +69,11 @@ def main(sharded: bool = False, scale: int = 0,
             # with recall guarded by the sanity assert below and the f32
             # winner rescore in the table paths
             exact_dtype="int8" if int8_exact else None,
-            rescue_threshold=0.4 if int8_exact else None,
+            # the production default: stage-3 rescue on (the serving
+            # answers are exhaustive-parity; the fused lax.cond path
+            # keeps the gate on device so pipelined dispatch never
+            # stalls — clean traffic runs at bare stages-1+2 speed)
+            rescue_threshold=0.4,
         )
         map_song = np.asarray
     elif sharded:
@@ -105,7 +109,7 @@ def main(sharded: bool = False, scale: int = 0,
     B = engine.max_batch
     S = 19  # 10 s query at 0.5 s hop (matcher.py:109-110)
 
-    def make_batch(seed):
+    def make_batch(seed, noise=0.1):
         r = np.random.default_rng(seed)
         filters = np.zeros((B, S, d), np.float32)
         sources = []
@@ -113,7 +117,7 @@ def main(sharded: bool = False, scale: int = 0,
             song = int(r.integers(0, n_songs))
             off = int(r.integers(0, segs_per_song - S))
             q = emb[song * segs_per_song + off :][:S].copy()
-            q += 0.1 * r.standard_normal((S, d)).astype(np.float32)
+            q += noise * r.standard_normal((S, d)).astype(np.float32)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             filters[b] = q
             sources.append(song)
@@ -140,7 +144,7 @@ def main(sharded: bool = False, scale: int = 0,
     ]
     jax.block_until_ready(batches)
 
-    def run_arrs(arrs, M, trial):
+    def run_arrs(arrs, M, trial, **skw):
         # every trial rescales the queries by a distinct, exactly-bf16-
         # representable factor: score argmax/timing-relevant compute are
         # unchanged, but the input BYTES differ per trial, so the relay's
@@ -150,14 +154,15 @@ def main(sharded: bool = False, scale: int = 0,
         # matmul.
         s = jnp.bfloat16(1.0 + trial / 64.0)
         t0 = time.time()
-        outs = [engine.search_top1_device(arrs[j] * s) for j in range(M)]
+        outs = [engine.search_top1_device(arrs[j] * s, **skw)
+                for j in range(M)]
         for o in outs:
             for tr in o:  # per max_batch chunk
                 np.asarray(tr[0])  # [B] best-song ids — forces completion
         return time.time() - t0
 
-    def run(M, trial):
-        return run_arrs(batches, M, trial)
+    def run(M, trial, **skw):
+        return run_arrs(batches, M, trial, **skw)
 
     # the sandbox TPU is a shared tunnel with heavy run-to-run contention
     # (identical code measures 2-5x apart); take the best of several
@@ -239,11 +244,46 @@ def main(sharded: bool = False, scale: int = 0,
         result["n_songs"] = n_songs
         result["recall_sanity"] = "%d/%d" % (hits, B)
         if int8_exact:
+            # int8-exact keeps the host-gated stage 3 (the whole-chunk
+            # fused rescue's int32 score tensor is beyond the cap at
+            # this scale), so the headline above is the bare screened
+            # path; rescue correctness is pinned by tests/test_screen.py
+            result["rescue_path"] = "host-gated"
             try:
                 ms = jax.devices()[0].memory_stats() or {}
                 result["hbm_bytes_in_use"] = int(ms.get("bytes_in_use", 0))
             except Exception:
                 pass
+        else:
+            # fused-rescue controls: rescued=False prices the lax.cond
+            # gate (headline "value" above IS the rescued path at the
+            # 0.1-noise mix); heavy-noise batches (cosine ~0.19, every
+            # chunk escalates) price the whole-chunk rescue ceiling
+            result["rescue_path"] = "fused-cond"
+            engine.search_top1_device(f0, rescued=False)  # warm compile
+            t1b = [run(4, 20 + t, rescued=False) for t in range(3)]
+            t2b = [run(16, 24 + t, rescued=False) for t in range(3)]
+            slb = (min(t2b) - min(t1b)) / 12
+            if slb <= 0:
+                slb = min(t2b) / 16
+            result["bare_top1_qps"] = round(B / slb, 1)
+            f1, src1 = make_batch(99, 0.46)
+            f1d = jax.device_put(jnp.asarray(f1, jnp.bfloat16))
+            (sg, _, _), = engine.search_top1_device(f1d)
+            result["recall_noisy"] = "%d/%d" % (
+                int((map_song(sg) == np.asarray(src1)).sum()), B)
+            noisy = [
+                jax.device_put(jnp.asarray(make_batch(40 + i, 0.46)[0],
+                                           jnp.bfloat16))
+                for i in range(16)
+            ]
+            jax.block_until_ready(noisy)
+            t1n = [run_arrs(noisy, 4, 30 + t) for t in range(3)]
+            t2n = [run_arrs(noisy, 16, 34 + t) for t in range(3)]
+            sln = (min(t2n) - min(t1n)) / 12
+            if sln <= 0:
+                sln = min(t2n) / 16
+            result["rescued_top1_qps_noisy"] = round(B / sln, 1)
         print(json.dumps(result))
         return
     try:
@@ -602,7 +642,7 @@ def db_bench(db_dir: str) -> None:
     ok = counts >= S + 1
     cand_songs = np.nonzero(ok)[0]
 
-    def make_batch(seed, B):
+    def make_batch(seed, B, noise=0.1):
         r = np.random.default_rng(seed)
         filters = np.zeros((B, S, db.d), np.float32)
         src = []
@@ -610,22 +650,28 @@ def db_bench(db_dir: str) -> None:
             song = int(cand_songs[r.integers(0, cand_songs.shape[0])])
             off = int(r.integers(0, counts[song] - S))
             q = emb[starts[song] + off :][:S].copy()
-            q += 0.1 * r.standard_normal((S, db.d)).astype(np.float32)
+            q += noise * r.standard_normal((S, db.d)).astype(np.float32)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             filters[b] = q
             src.append(song)
         return filters, src
 
-    def slope_qps(engine, label, seed0):
+    def slope_qps(engine, label, seed0, noise=0.1, **skw):
+        """Pipelined-dispatch slope throughput of search_top1_device —
+        for the screen engine with a rescue cut this is the FUSED
+        rescued serving path by default (the lax.cond gate never syncs
+        the pipeline); skw={'rescued': False} measures the bare
+        stages-1+2 control."""
         B = engine.max_batch if not hasattr(engine, "_chunk_for") \
             else engine._chunk_for(S)
-        f0, src = make_batch(seed0, B)
+        f0, src = make_batch(seed0, B, noise)
         f0d = jax.device_put(jnp.asarray(f0, jnp.bfloat16))
-        (song, _, _), = engine.search_top1_device(f0d)
+        (song, _, _), = engine.search_top1_device(f0d, **skw)
         hits = int((np.asarray(song) == np.asarray(src)).sum())
         batches = [
-            jax.device_put(jnp.asarray(make_batch(seed0 + 1 + i, B)[0],
-                                       jnp.bfloat16))
+            jax.device_put(
+                jnp.asarray(make_batch(seed0 + 1 + i, B, noise)[0],
+                            jnp.bfloat16))
             for i in range(8)
         ]
         jax.block_until_ready(batches)
@@ -633,7 +679,7 @@ def db_bench(db_dir: str) -> None:
         def run(M, trial):
             s = jnp.bfloat16(1.0 + trial / 64.0)
             t0 = time.time()
-            outs = [engine.search_top1_device(batches[j % 8] * s)
+            outs = [engine.search_top1_device(batches[j % 8] * s, **skw)
                     for j in range(M)]
             for o in outs:
                 np.asarray(o[0][0])
@@ -681,44 +727,25 @@ def db_bench(db_dir: str) -> None:
         return round(B / sl, 1)
 
     def rescued_top1_qps(noise, seed0, label, ctl):
-        """The RESCUED top-1 serving path (ScreenedAlignmentEngine.
-        search_top1: stages 1+2 fast answers + stage-3 exhaustive
-        rescue of the below-tau sub-batch with on-device finalize) —
-        the one number that is both fast AND exhaustive-parity
-        (VERDICT r4 #1).  Also verifies parity against the align
-        control's top-1 on the measured batch shape."""
-        B = 512
-
-        def noisy_batch(seed):
-            r = np.random.default_rng(seed)
-            f, _ = make_batch(seed, B)
-            f += noise * r.standard_normal(f.shape).astype(np.float32)
-            f /= np.linalg.norm(f, axis=2, keepdims=True)
-            return f
-
-        batches = [noisy_batch(seed0 + i) for i in range(9)]
-        # warm: compiles the screen fn AND (under noise) the rescue fn
-        # on bytes the measured runs never reuse
-        db._align.search_top1(noisy_batch(seed0 + 999))
-        # parity vs the exhaustive control (answers, not just recall)
-        song, _, _ = db._align.search_top1(batches[0])
+        """The RESCUED top-1 serving path — the one number that is both
+        fast AND exhaustive-parity (VERDICT r4 #1).  Measured PIPELINED
+        through search_top1_device: with the fused lax.cond rescue the
+        escalation gate lives on device, so clean traffic runs at the
+        bare stages-1+2 speed and noisy traffic pays one whole-chunk
+        exhaustive rescore instead of a host-gated serialized rescue.
+        Parity vs the exhaustive align control is asserted on answers,
+        not just recall."""
+        qps, _, B = slope_qps(db._align, label, seed0, noise=noise)
+        f0, _ = make_batch(seed0 + 99, 512, noise)
+        song, _, _ = db._align.search_top1(f0)
         cs = np.concatenate([
-            np.asarray(o[0]) for o in ctl.search_top1_device(batches[0])
-        ])[:B]
+            np.asarray(o[0]) for o in ctl.search_top1_device(
+                jax.device_put(jnp.asarray(f0, jnp.bfloat16)))
+        ])[:512]
         parity = int((song == cs).sum())
-
-        def run(M, at):
-            t0 = time.time()
-            for j in range(M):
-                db._align.search_top1(batches[at + j])
-            return time.time() - t0
-
-        lo = min(run(1, t) for t in range(3))
-        hi = min(run(3, at) for at in (3, 6))
-        sl = max((hi - lo) / 2, 1e-9)
-        print("%s: %.1f q/s, parity %d/%d vs align"
-              % (label, B / sl, parity, B), file=sys.stderr)
-        return round(B / sl, 1), "%d/%d" % (parity, B)
+        print("%s: parity %d/512 vs align" % (label, parity),
+              file=sys.stderr)
+        return qps, "%d/512" % parity
 
     res = {"metric": "db_queries_per_sec", "unit": "10s-queries/s/chip",
            "n_songs": n_songs, "db": os.path.basename(db_dir.rstrip("/")),
@@ -741,12 +768,16 @@ def db_bench(db_dir: str) -> None:
             # ceiling (cosine ~0.19, ~full escalation).  The clean
             # number becomes the headline "value" — it is the engine a
             # production top-1 API would actually run, and its answers
-            # are exhaustive-parity by construction
+            # are exhaustive-parity by construction.  The bare
+            # stages-1+2 control (rescued=False) prices the fused
+            # lax.cond gate itself.
+            bare, _, _ = slope_qps(db._align, "bare-top1", 700,
+                                   rescued=False)
             r1c, p1c = rescued_top1_qps(0.05, 500, "rescued-top1-clean",
                                         ctl)
             r1n, p1n = rescued_top1_qps(0.46, 600, "rescued-top1-noisy",
                                         ctl)
-            res["bare_top1_qps"] = res["value"]
+            res["bare_top1_qps"] = bare
             res["value"] = r1c
             res["vs_baseline"] = round(r1c / 5000.0, 3)
             res["rescued_top1_qps_clean"] = r1c

@@ -597,10 +597,23 @@ class ScreenedAlignmentEngine:
     def search_device(self, filters):
         return self._dispatch(filters)
 
-    def search_top1_device(self, qpad):
+    def search_top1_device(self, qpad, sub_lens=None, rescued=True):
         """Serving fast path mirroring AlignmentEngine.search_top1_device:
         per chunk a (song [B], score_sum [B], t [B]) device triple — song
-        ids are GLOBAL (the candidate map is applied on device)."""
+        ids are GLOBAL (the candidate map is applied on device).
+
+        With ``rescued`` (default) and a rescue threshold configured, the
+        triples are STAGE-3-RESCUED answers whenever the fused one-program
+        path is available (:meth:`_fused_ok`): the escalation gate and the
+        whole-batch exhaustive rescore run inside the same jitted program
+        behind a ``lax.cond``, so pipelined serving dispatch never syncs
+        to the host to decide escalation — clean traffic runs at the bare
+        stage-1+2 speed and the answers still match ``search()``'s (the
+        reference's query API always returns the correct best answer,
+        /root/reference/database.py:111-115).  ``rescued=False`` forces
+        the bare stages-1+2 triples (benchmark control)."""
+        if rescued and self._fused_ok(qpad.shape[1]):
+            return self._fused_top1_dispatch(qpad, sub_lens)
         pad = self.pad
         outs = []
         for cand, best, argoff in self._dispatch(qpad):
@@ -682,6 +695,135 @@ class ScreenedAlignmentEngine:
             per_b = self.n_pad * self.R * S * itemsize
             mb = max(1, min(mb, (4 << 30) // max(per_b, 1)))
         return mb
+
+    def _fused_ok(self, S: int) -> bool:
+        """True when the rescued top-1 can run as ONE jitted program per
+        dispatch chunk, with the stage-3 rescue behind a device-side
+        ``lax.cond`` (no host gate, no pipeline stall).  Requires the
+        whole-chunk full-layout rescore to be affordable: always for the
+        fused Pallas kernel (VMEM-streamed), and for the XLA fallback
+        only while the materialized [N, S, chunk] score tensor fits the
+        4 GiB cap.  alpha / int8-exact keep the host-gated path (their
+        rescue math needs per-query masks / f32 winner rescore on
+        host)."""
+        if (self._rescue_tau is None or not self.n_songs
+                or self.score_alpha != 0.0 or self.exact_int8):
+            return False
+        from pfann_tpu.index.pallas_align import HALO
+
+        if self.impl == "pallas" and S <= HALO + 1:
+            return True
+        itemsize = 2 if self.score_dtype == jnp.bfloat16 else 4
+        per_b = self.n_pad * self.R * S * itemsize
+        return per_b * self._chunk_for(S) <= (4 << 30)
+
+    def _top1_fused_fn(self, S: int):
+        """Jitted stages 1+2 -> top-1 -> lax.cond(any below tau) ->
+        whole-chunk full-layout rescue -> per-row merge.  Clean chunks
+        never execute the rescue branch; escalating chunks pay ONE
+        exhaustive alignment over the resident layout (the same kernel
+        and shape as the exhaustive engine's headline dispatch) instead
+        of a host round trip + serialized sub-batch rescore."""
+        key = ("fused_top1", S)
+        if key in self._fns:
+            return self._fns[key]
+        core = functools.partial(
+            screen_core,
+            k=self.k, R=self.R, Rc=self.Rc, S=S, n_pad=self.n_pad,
+            M=self.top_m, backend=self.backend, dt=self.score_dtype,
+            impl=self.impl, interpret=self.interpret,
+            score_alpha=0.0, pad=self.pad, exact_scale=self._db3_scale,
+        )
+        pad, R = self.pad, self.R
+        n_songs, n_pad = self.n_songs, self.n_pad
+        impl, interpret = self.impl, self.interpret
+        dt = self.score_dtype
+        tau = float(self._rescue_tau)
+
+        @jax.jit
+        def fn(db3, coarse, qpad, song_valid, counts, q_lens):
+            cand, best, argoff = core(
+                db3, coarse, qpad, song_valid, counts=counts, q_valid=None
+            )
+            m = jnp.argmax(best, axis=1)
+            take = jax.vmap(lambda c, b, o, i: (c[i], b[i], o[i]))(
+                cand, best, argoff, m
+            )
+            song2 = take[0].astype(jnp.int32)
+            sco2 = take[1].astype(jnp.float32)
+            off2 = (take[2] - pad).astype(jnp.float32)
+            lens = q_lens.astype(jnp.float32)
+            # same escalation criterion as search()/search_top1's host
+            # gate: best exact MEAN score below tau (zero-length padding
+            # rows never escalate)
+            need = (sco2 / jnp.maximum(lens, 1.0) < tau) & (lens > 0)
+
+            def rescue(qp):
+                db = db3.reshape(-1, db3.shape[-1])
+                # alignment_core zero-extends tail-less Pallas layouts
+                # itself when it falls back to the XLA slices
+                b, o = alignment_core(
+                    db, qp, R=R, S=S, n_songs=n_pad, score_dtype=dt,
+                    impl=impl, interpret=interpret,
+                )
+                b = jnp.where(
+                    jnp.arange(n_pad)[None, :] < n_songs, b, -jnp.inf
+                )
+                s = jnp.argmax(b, axis=1)
+                tk = jax.vmap(lambda bb, oo, ss: (bb[ss], oo[ss]))(b, o, s)
+                return (
+                    s.astype(jnp.int32),
+                    tk[0].astype(jnp.float32),
+                    (tk[1] - pad).astype(jnp.float32),
+                )
+
+            def skip(qp):
+                return song2, sco2, off2
+
+            sR, bR, oR = jax.lax.cond(jnp.any(need), rescue, skip, qpad)
+            # per-row merge keeps exact search() parity: above-tau rows
+            # keep their trusted stage-2 answer even when a chunk-mate
+            # triggered the rescue branch
+            return (
+                jnp.where(need, sR, song2),
+                jnp.where(need, bR, sco2),
+                jnp.where(need, oR, off2),
+            )
+
+        self._fns[key] = fn
+        return fn
+
+    def _fused_top1_dispatch(self, qpad, sub_lens=None):
+        """Chunked dispatch of :meth:`_top1_fused_fn` — the rescued
+        serving fast path.  Returns a list of (song, score_sum, t)
+        device triples (same contract as the bare path); no host syncs
+        inside, so callers can pipeline dispatches."""
+        B, S, _ = qpad.shape
+        fn = self._top1_fused_fn(S)
+        mb = self._chunk_for(S)
+        lkey = ("fused_lens", S, mb)
+        if lkey not in self._fns:  # device-resident full-length lens row
+            self._fns[lkey] = jnp.full((mb,), S, jnp.int32)
+        outs = []
+        for i in range(0, B, mb):
+            chunk = qpad[i : i + mb]
+            n = chunk.shape[0]
+            if n < mb:
+                arr = np.asarray(chunk)
+                chunk = np.concatenate(
+                    [arr, np.zeros((mb - n, S, self.d), arr.dtype)]
+                )
+            if sub_lens is None and n == mb:
+                lens = self._fns[lkey]
+            else:
+                hl = (np.full(n, S, np.int32) if sub_lens is None
+                      else np.asarray(sub_lens[i : i + n], np.int32))
+                lens = jnp.asarray(np.pad(hl, (0, mb - n)))
+            outs.append(
+                fn(self._db3, self._coarse, jnp.asarray(chunk),
+                   self._song_valid, self._counts, lens)
+            )
+        return outs
 
     def _rescue(self, filters, sub_lens, esc: np.ndarray):
         """Exhaustively rescore the escalated queries (rows ``esc`` of
@@ -797,9 +939,23 @@ class ScreenedAlignmentEngine:
         hence the exhaustive engine's) even in the winner-dropping
         regime, while the D2H stays [B]-sized.  Returns host
         (song [B] int32, score_sum [B] f32, t [B] f32).  sub_lens
-        defaults to S (full-length serving queries)."""
+        defaults to S (full-length serving queries).
+
+        When the fused one-program path is available the rescue already
+        happened on device (:meth:`search_top1_device`) and this is just
+        a sync; otherwise the escalation set is gated on host and
+        rescored via :meth:`rescue_top1_device` (alpha / int8-exact /
+        beyond-cap layouts)."""
         B, S, _ = qpad.shape
-        outs = self.search_top1_device(qpad)
+        if self._fused_ok(S):
+            outs = self._fused_top1_dispatch(qpad, sub_lens)
+            song = np.concatenate([np.asarray(o[0]) for o in outs])[:B]
+            best = np.concatenate(
+                [np.asarray(o[1]) for o in outs]
+            )[:B].astype(np.float32)
+            t = np.concatenate([np.asarray(o[2]) for o in outs])[:B]
+            return song, best, t
+        outs = self.search_top1_device(qpad, rescued=False)
         song = np.concatenate([np.asarray(o[0]) for o in outs])[:B]
         best = np.concatenate([np.asarray(o[1]) for o in outs])[:B]
         t = np.concatenate([np.asarray(o[2]) for o in outs])[:B]

@@ -578,6 +578,65 @@ class ShardedDatabase:
 
         return rtop1
 
+    def _fused_ok(self, Sp: int, Bp: int) -> bool:
+        """True when the sharded rescued top-1 can run as ONE jitted
+        program: stage 1+2 local top-1 merge, escalation gate, and the
+        whole-batch per-shard exhaustive rescue behind a device-side
+        ``lax.cond`` — no host sync to decide escalation (mirrors
+        ScreenedAlignmentEngine._fused_ok).  Requires the whole-batch
+        rescue to be affordable: always for the Pallas kernel, else the
+        per-shard [songs_max*R, S, Bp] XLA score tensor must fit the
+        4 GiB cap.  alpha keeps the host-gated path (its tau mapping is
+        approximate and its masks ride the chunked rescue)."""
+        if (self.engine != "screen" or self.rescue_tau is None
+                or not self.n_songs or self.score_alpha != 0.0):
+            return False
+        from pfann_tpu.index.pallas_align import HALO
+
+        if self.impl == "pallas" and Sp <= HALO + 1:
+            return True
+        itemsize = 2 if self._db.dtype == jnp.bfloat16 else 4
+        per_b = self.songs_max * self.R * Sp * itemsize
+        return per_b * Bp <= (4 << 30)
+
+    def _make_top1_rescued_fn(self, Sp: int, Bp: int):
+        """Fused rescued serving fast path: the screen top-1 merge and
+        the stage-3 per-shard exhaustive rescue in one program, the
+        rescue behind ``lax.cond(any(need))``.  The predicate derives
+        from the replicated merged scores, so every device takes the
+        same branch; clean batches never execute the rescue body."""
+        top1 = self._make_top1_fn(Sp, Bp)
+        rkey = ("rescue_top1", Sp, Bp)
+        if rkey not in self._query_cache:
+            self._query_cache[rkey] = self._make_rescue_top1_fn(Sp, Bp)
+        rtop1 = self._query_cache[rkey]
+        tau = float(self.rescue_tau)
+
+        @jax.jit
+        def fn(db_sh, coarse_sh, valid_sh, qpad, vmask, row_real,
+               inv_len):
+            val, fid, off = top1(db_sh, coarse_sh, valid_sh, qpad,
+                                 inv_len)
+            # padding rows (row_real False) never escalate — their
+            # zero queries would otherwise always sit below tau
+            need = (val < tau) & row_real
+
+            def rescue(qp):
+                rv, ri, ro = rtop1(db_sh, valid_sh, qp, vmask, inv_len)
+                return (rv, ri.astype(fid.dtype), ro.astype(off.dtype))
+
+            def skip(qp):
+                return val, fid, off
+
+            rv, ri, ro = jax.lax.cond(jnp.any(need), rescue, skip, qpad)
+            return (
+                jnp.where(need, rv, val),
+                jnp.where(need, ri, fid),
+                jnp.where(need, ro, off),
+            )
+
+        return fn
+
     def search_top1_rescued(self, qpad):
         """RESCUED serving fast path: search_top1_device's stages 1+2
         answer every query, then queries whose best exact MEAN score
@@ -587,14 +646,25 @@ class ShardedDatabase:
         the host traffic stays [B]-sized.  Returns HOST (score [B],
         flat_idx [B], offset [B]); map flat_idx via :meth:`flat_to_song`.
         For engine='align' (already exhaustive) or rescue disabled this
-        is just the synced fast path."""
+        is just the synced fast path.  When the fused one-program path
+        applies (:meth:`_fused_ok`) the rescue already happened on
+        device inside :meth:`search_top1_device` and this is just a
+        sync; the host-gated chunked rescue below serves the remaining
+        configurations (alpha, beyond-cap long-query layouts)."""
         B, S, _ = qpad.shape
         val, idx, off = self.search_top1_device(qpad)
         val = np.array(np.asarray(val), copy=True)
         idx = np.array(np.asarray(idx), copy=True)
         off = np.array(np.asarray(off), copy=True)
+        Sp = bucket_windows(S, self.pad)
+        if self.engine in ("align", "screen") and self.impl == "pallas":
+            from pfann_tpu.index.pallas_align import LANE
+
+            Bp = -(-B // LANE) * LANE
+        else:
+            Bp = bucket_batch(B)
         if self.engine != "screen" or self.rescue_tau is None \
-                or not self.n_songs:
+                or not self.n_songs or self._fused_ok(Sp, Bp):
             return val, idx, off
         esc = np.nonzero(val < self.rescue_tau)[0]
         if not len(esc):
@@ -704,7 +774,7 @@ class ShardedDatabase:
 
         return top1
 
-    def search_top1_device(self, qpad):
+    def search_top1_device(self, qpad, rescued=True):
         """qpad: device [B, S, d] (full-length queries).  Returns device
         (score [B], flat_idx [B], offset [B] — pad-corrected, DB-hop
         units from song start); map flat_idx to global song ids with
@@ -713,7 +783,14 @@ class ShardedDatabase:
         S and B are bucketed exactly like query_batch (zero query rows
         score zero; results are sliced back to B), so ragged serving
         batches reuse the compiled program and the pallas kernel always
-        sees full 128-lane groups."""
+        sees full 128-lane groups.
+
+        With ``rescued`` (default) and a screen rescue cut configured,
+        the triples are STAGE-3-RESCUED answers whenever the fused
+        one-program path applies (:meth:`_fused_ok`): pipelined serving
+        never host-syncs to gate escalation, and the answers match
+        ``query_batch``'s (and hence the exhaustive control's).
+        ``rescued=False`` forces the bare stages-1+2 triples."""
         B, S, _ = qpad.shape
         Sp = bucket_windows(S, self.pad)
         if self.engine in ("align", "screen") and self.impl == "pallas":
@@ -724,6 +801,24 @@ class ShardedDatabase:
             Bp = bucket_batch(B)
         if Sp != S or Bp != B:
             qpad = jnp.pad(qpad, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        if rescued and self._fused_ok(Sp, Bp):
+            fkey = ("top1_rescued", Sp, Bp)
+            if fkey not in self._query_cache:
+                self._query_cache[fkey] = self._make_top1_rescued_fn(
+                    Sp, Bp
+                )
+            vmask = np.zeros((Bp, Sp), dtype=bool)
+            vmask[:B, :S] = True
+            row_real = np.zeros(Bp, dtype=bool)
+            row_real[:B] = True
+            val, idx, off = self._query_cache[fkey](
+                self._db, self._coarse, self._song_valid, qpad,
+                jnp.asarray(vmask), jnp.asarray(row_real),
+                jnp.float32(1.0 / S),
+            )
+            if Bp != B:
+                val, idx, off = val[:B], idx[:B], off[:B]
+            return val, idx, off
         key = ("top1", Sp, Bp)
         if key not in self._query_cache:
             self._query_cache[key] = self._make_top1_fn(Sp, Bp)

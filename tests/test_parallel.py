@@ -697,7 +697,7 @@ def test_sharded_screen_rescued_top1_matches_query_batch():
     want = [int(np.argmax(smax[b])) for b in range(len(qs))]
 
     qpad = jnp.asarray(np.stack(qs).astype(np.float32))
-    bval, bidx, boff = scr.search_top1_device(qpad)  # bare stages 1+2
+    bval, bidx, boff = scr.search_top1_device(qpad, rescued=False)
     bare_song = scr.flat_to_song(np.asarray(bidx)).tolist()
     val, idx, off = scr.search_top1_rescued(qpad)
     song = scr.flat_to_song(idx).tolist()
@@ -706,6 +706,23 @@ def test_sharded_screen_rescued_top1_matches_query_batch():
     for b in range(len(qs)):
         np.testing.assert_allclose(val[b], smax[b, want[b]], rtol=1e-5)
         assert off[b] == stime[b, want[b]]
+
+    # the default device path is the FUSED one-program rescue (no host
+    # gate): same answers straight off search_top1_device
+    from pfann_tpu.parallel.sharded_search import bucket_windows
+
+    assert scr._fused_ok(bucket_windows(S, scr.pad), 8)
+    fval, fidx, foff = scr.search_top1_device(qpad)
+    assert scr.flat_to_song(np.asarray(fidx)).tolist() == want
+    np.testing.assert_allclose(np.asarray(fval), val, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(foff), off)
+
+    # host-gated stage 3 (the alpha / beyond-cap fallback) agrees
+    scr._fused_ok = lambda Sp, Bp: False
+    hval, hidx, hoff = scr.search_top1_rescued(qpad)
+    assert scr.flat_to_song(hidx).tolist() == want
+    np.testing.assert_allclose(hval, val, rtol=1e-6)
+    np.testing.assert_array_equal(hoff, off)
 
 
 def test_sharded_align_rescued_top1_passthrough():

@@ -525,6 +525,67 @@ def test_screen_rescued_top1_matches_search():
         assert t[b] == st[b, want[b]]
 
 
+def test_fused_rescued_top1_matches_host_gated():
+    """The fused serving path (escalation gate + whole-chunk rescue
+    behind a device-side lax.cond — no host sync in the dispatch loop)
+    returns exactly the host-gated stage-3 path's answers: clean rows,
+    winner-dropping rows, and short sub_lens rows alike."""
+    rng = np.random.default_rng(21)
+    emb, counts, song_pos = make_db(rng, n_songs=48, min_len=16)
+    S = 12
+    clean, _, _ = noisy_queries(rng, emb, counts, song_pos, n=6, S=S,
+                                noise=0.1)
+    noisy, _, _ = noisy_queries(rng, emb, counts, song_pos, n=15, S=S,
+                                noise=0.46)
+    filters = np.concatenate([clean, noisy])
+    sub_lens = np.full(len(filters), S, np.int32)
+    filters[3, 8:] = 0.0  # a short query zero-padded to the bucket
+    sub_lens[3] = 8
+
+    kw = dict(pad=16, k=4, top_m=1, score_dtype=jnp.float32,
+              impl="xla", backend="exact", rescue_threshold=0.4)
+    scr = ScreenedAlignmentEngine(emb, counts, **kw)
+    assert scr._fused_ok(S), "tiny XLA config must take the fused path"
+    song, best, t = scr.search_top1(filters, sub_lens)
+
+    host = ScreenedAlignmentEngine(emb, counts, **kw)
+    host._fused_ok = lambda S: False  # force the host-gated stage 3
+    hsong, hbest, ht = host.search_top1(filters, sub_lens)
+    assert list(song) == list(hsong)
+    np.testing.assert_allclose(best, hbest, rtol=1e-5)
+    np.testing.assert_array_equal(t, ht)
+
+    # device-triple serving contract: same rescued answers, device out
+    outs = scr.search_top1_device(jnp.asarray(filters))
+    dsong = np.concatenate([np.asarray(o[0]) for o in outs])[: len(filters)]
+    assert list(dsong[:3]) == list(song[:3])  # full-length rows agree
+    assert list(dsong[4:]) == list(song[4:])
+
+
+def test_fused_rescued_top1_pallas_interpret():
+    """The fused cond rescue through the Pallas kernel (interpret mode):
+    answers match the XLA fused path in the winner-dropping regime."""
+    rng = np.random.default_rng(22)
+    emb, counts, song_pos = make_db(rng, n_songs=16, min_len=10,
+                                    max_len=24, d=32)
+    kw = dict(pad=16, k=4, top_m=1, score_dtype=jnp.float32,
+              backend="exact", rescue_threshold=0.4)
+    xla = ScreenedAlignmentEngine(emb, counts, impl="xla", **kw)
+    pls = ScreenedAlignmentEngine(emb, counts, impl="pallas",
+                                  interpret=True, **kw)
+    pls.max_batch = 128  # pallas path assumes LANE-multiple batches
+    S = 6
+    filters, want_song, _ = noisy_queries(
+        rng, emb, counts, song_pos, n=4, S=S, noise=0.45
+    )
+    assert pls._fused_ok(S)
+    ps, pb, pt = pls.search_top1(filters)
+    xs_, xb, xt = xla.search_top1(filters)
+    assert list(ps) == list(xs_)
+    np.testing.assert_allclose(pb, xb, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(pt, xt)
+
+
 def test_screen_rescued_top1_no_escalation_when_disabled():
     """rescue_threshold=None keeps search_top1 identical to the bare
     device fast path (no host round trips added)."""
