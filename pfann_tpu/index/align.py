@@ -386,6 +386,22 @@ class AlignmentEngine:
             outs.append(_top1(best, argoff, self.pad))
         return outs
 
+    def search_top1(self, qpad, sub_lens=None):
+        """Synced top-1 serving answers (host arrays): (song [B] int32,
+        score_sum [B] f32, t [B] f32 — DB-hop units from song start).
+        The exhaustive engine's answers ARE the rescued contract
+        (recall 1.0 by construction); sub_lens is accepted for API
+        symmetry with ScreenedAlignmentEngine.search_top1 (score sums
+        are over the zero-padded filters either way)."""
+        B = qpad.shape[0]
+        outs = self.search_top1_device(qpad)
+        song = np.concatenate([np.asarray(o[0]) for o in outs])[:B]
+        best = np.concatenate(
+            [np.asarray(o[1]) for o in outs]
+        )[:B].astype(np.float32)
+        t = np.concatenate([np.asarray(o[2]) for o in outs])[:B]
+        return song, best, t
+
     def search(
         self, filters: np.ndarray, sub_lens: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:

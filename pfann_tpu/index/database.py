@@ -368,6 +368,80 @@ class Database:
             for i in range(B)
         ]
 
+    def query_top1_batch(
+        self, queries: Sequence[np.ndarray]
+    ) -> list[tuple[float, tuple[int, float]]]:
+        """Serving fast path: the best (score, (song_id, time_seconds))
+        per query with [B]-sized D2H — the RESCUED top-1 answer, equal
+        to ``query_embeddings_batch``'s argmax (the reference's query
+        API always returns the correct best answer,
+        /root/reference/database.py:111-115) without paying the
+        [B, n_songs] table transfer.  On the screen engine the answers
+        ride the fused lax.cond rescue; on the align engine recall is
+        1.0 by construction.  Long queries, the topk engine, and
+        score_alpha fall back to the full-table path."""
+        if not queries:
+            return []
+        if self.ntotal == 0:
+            return [(-float("inf"), (-1, 0.0))] * len(queries)
+        if (self.score_alpha != 0.0
+                or not self._use_align(max(q.shape[0] for q in queries))):
+            return [r[:2] for r in self.query_embeddings_batch(queries)]
+        from pfann_tpu.index.align import queries_to_filters
+
+        fsm = self.frame_shift_mul
+        B = len(queries)
+        scale = self.hop_size / fsm
+        if self._sharded is not None:
+            max_w = self._sharded.pad
+            subs = [q[s::fsm][:max_w] for q in queries for s in range(fsm)]
+            S = bucket_windows(max(len(s) for s in subs), max_w)
+            qpad = np.zeros((len(subs), S, self.d), np.float32)
+            for i, sub in enumerate(subs):
+                qpad[i, : len(sub)] = sub
+            val, idx, off = self._sharded.search_top1_rescued(
+                jnp.asarray(qpad)
+            )
+            song = self._sharded.flat_to_song(np.asarray(idx))
+            # the sharded top-1 normalizes by the padded bucket width
+            # (uniform across songs, so its argmax is unaffected);
+            # recover per-query mean-IP units: sum = val * S, mean =
+            # sum / true_len (zero-padded rows contribute 0 to the sum)
+            lens = np.array([len(s) for s in subs], np.float32)
+            mean = np.asarray(val, np.float32) * S / np.maximum(lens, 1)
+            t = np.asarray(off, np.float32)
+        else:
+            max_w = self._align.max_query_windows()
+            filters, sub_lens = [], []
+            for q in queries:
+                f, sl, _ = queries_to_filters(q, fsm, max_w)
+                filters.append(f)
+                sub_lens.append(sl)
+            S_max = bucket_windows(
+                max(f.shape[1] for f in filters), max_w
+            )
+            allf = np.zeros((B * fsm, S_max, self.d), np.float32)
+            for i, f in enumerate(filters):
+                allf[i * fsm : (i + 1) * fsm, : f.shape[1]] = f
+            lens = np.concatenate(sub_lens)
+            song, ssum, t = self._align.search_top1(allf, lens)
+            mean = ssum / np.maximum(lens, 1)
+        # merge the fsm shifted variants per query (seqscore.cpp:114
+        # sub-hop time convention, same math as _query_align_batch)
+        mean = mean.reshape(B, fsm)
+        song = np.asarray(song).reshape(B, fsm)
+        t_sub = t.reshape(B, fsm) * fsm - np.arange(fsm)[None, :]
+        pick = np.argmax(mean, axis=1)
+        bi = np.arange(B)
+        return [
+            (
+                float(mean[i, pick[i]]),
+                (int(song[i, pick[i]]),
+                 float(t_sub[i, pick[i]] * scale)),
+            )
+            for i in range(B)
+        ]
+
     # ------------------------------------------------------------------
     def _query_device(self, query: np.ndarray):
         self._ensure_raw_db()

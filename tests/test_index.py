@@ -173,6 +173,48 @@ def test_database_roundtrip(tmp_path):
     np.testing.assert_allclose(outs[0][0], best, rtol=1e-3)
 
 
+@pytest.mark.parametrize("params,fsm", [
+    ({"top_k": 4, "backend": "exact"}, 1),
+    ({"top_k": 4, "backend": "exact", "frame_shift_mul": 2}, 2),
+    ({"top_k": 4, "backend": "exact", "screen": True, "screen_pool_k": 2,
+      "screen_top_m": 2, "screen_rescue": 0.4}, 1),
+    ({"top_k": 4, "backend": "exact", "sharded": True}, 1),
+    ({"top_k": 4, "backend": "exact", "sharded": True, "screen": True,
+      "screen_pool_k": 2, "screen_top_m": 2, "screen_rescue": 0.4}, 1),
+])
+def test_database_query_top1_batch(tmp_path, params, fsm):
+    """Database.query_top1_batch (the [B]-D2H serving answer API) must
+    return query_embeddings_batch's argmax: same song, score, and
+    second-unit time — across fsm>1 sub-hop merging and the screen
+    engine's fused rescue."""
+    rng = np.random.default_rng(6)
+    db, song_pos = make_db(rng, n_songs=12, min_len=20, max_len=40, d=16)
+    counts = np.diff(song_pos).astype(np.int32)
+    dbdir = str(tmp_path / "db")
+    os.makedirs(dbdir)
+    db.tofile(os.path.join(dbdir, "embeddings"))
+    counts.tofile(os.path.join(dbdir, "landmarkKey"))
+    with open(os.path.join(dbdir, "songList.txt"), "w") as f:
+        f.write("".join("song%d.wav\n" % i for i in range(12)))
+    write_index_meta(dbdir, d=16)
+
+    database = Database(dbdir, params, hop_size=0.5)
+    queries = []
+    for song, off, n in ((1, 3, 6 * fsm), (7, 0, 9 * fsm), (4, 8, 7 * fsm)):
+        q = db[song_pos[song] + off :][:n].copy()
+        q += 0.15 * rng.standard_normal(q.shape).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        queries.append(q)
+
+    want = database.query_embeddings_batch(queries)
+    got = database.query_top1_batch(queries)
+    assert len(got) == len(want)
+    for (gb, (gs, gt)), (wb, (ws, wt), _) in zip(got, want):
+        assert gs == ws
+        assert gb == pytest.approx(wb, rel=1e-4)
+        assert gt == pytest.approx(wt, abs=1e-6)
+
+
 def test_empty_db(tmp_path):
     dbdir = str(tmp_path / "db")
     os.makedirs(dbdir)
