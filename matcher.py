@@ -45,9 +45,15 @@ from pfann_tpu.utils import MultiProcessInitLogger, get_logger, read_config
 
 def match_list(
     embedder, db, params, file_list_for_query, result_file,
-    batch=32, visualize=False,
+    batch=32, visualize=False, top1=False,
 ) -> None:
-    """Match every query in one list file against an already-loaded DB."""
+    """Match every query in one list file against an already-loaded DB.
+
+    ``top1`` is the SERVING mode: answers ride
+    Database.query_top1_batch ([B]-sized D2H, rescued top-1 on the fast
+    engines) and no ``.bin`` score tables are written — the TSV +
+    _detail.csv answers are identical to the default mode's (the tables
+    only matter to the ensemble/analysis flows)."""
     logger = get_logger()
     parent = os.path.dirname(os.path.abspath(result_file))
     os.makedirs(parent, exist_ok=True)
@@ -61,9 +67,15 @@ def match_list(
     viz_dir = parent
 
     tm_0 = time.time()
-    with open(result_file, "w", encoding="utf8", newline="\n") as fout, open(
-        result_file2, "w", encoding="utf8", newline="\n"
-    ) as fout2, open(result_file_score, "wb") as fout_score:
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        fout = stack.enter_context(
+            open(result_file, "w", encoding="utf8", newline="\n"))
+        fout2 = stack.enter_context(
+            open(result_file2, "w", encoding="utf8", newline="\n"))
+        fout_score = None if top1 else stack.enter_context(
+            open(result_file_score, "wb"))
         detail_writer = csv.writer(fout2)
         # byte parity with the reference's header (matcher.py:84); its
         # part_scores column is vestigial there too (upsco is always [])
@@ -115,13 +127,23 @@ def match_list(
             # phase split here is embed (above) vs search (the fused
             # device query) — tools/stat.py aggregates both
             tm = time.time()
-            results = db.query_embeddings_batch(embs)
+            if top1:
+                for (name, _), (sco, (ans_id, tim)) in zip(
+                    pending, db.query_top1_batch(embs)
+                ):
+                    ans = db.songList[ans_id] if ans_id >= 0 else "error"
+                    fout.write("%s\t%s\n" % (name, ans))
+                    detail_writer.writerow([name, ans, sco, tim])
+            else:
+                results = db.query_embeddings_batch(embs)
+                for (name, _), (sco, (ans_id, tim), song_score) in zip(
+                    pending, results
+                ):
+                    ans = db.songList[ans_id] if ans_id >= 0 else "error"
+                    fout.write("%s\t%s\n" % (name, ans))
+                    detail_writer.writerow([name, ans, sco, tim])
+                    fout_score.write(song_score.tobytes())
             logger.info("search %.6fs", time.time() - tm)
-            for (name, _), (sco, (ans_id, tim), song_score) in zip(pending, results):
-                ans = db.songList[ans_id] if ans_id >= 0 else "error"
-                fout.write("%s\t%s\n" % (name, ans))
-                detail_writer.writerow([name, ans, sco, tim])
-                fout_score.write(song_score.tobytes())
             fout.flush()
             fout2.flush()
             pending = []
@@ -143,9 +165,12 @@ def match_list(
                 fout.flush()
                 detail_writer.writerow([name, "error", -float("inf"), 0])
                 fout2.flush()
-                fout_score.write(
-                    np.zeros([len(db.songList), 2], dtype=np.float32).tobytes()
-                )
+                if fout_score is not None:
+                    fout_score.write(
+                        np.zeros(
+                            [len(db.songList), 2], dtype=np.float32
+                        ).tobytes()
+                    )
                 continue
 
             if visualize:
@@ -195,6 +220,9 @@ def main() -> None:
     pairs_mode = "--pairs" in argv
     if pairs_mode:
         argv.remove("--pairs")
+    top1_flag = "--top1" in argv
+    if top1_flag:
+        argv.remove("--top1")
     batch = 32
     if "--batch" in argv:
         at = argv.index("--batch")
@@ -226,7 +254,7 @@ def main() -> None:
     for file_list_for_query, result_file in pairs:
         match_list(
             embedder, db, params, file_list_for_query, result_file,
-            batch=batch, visualize=visualize,
+            batch=batch, visualize=visualize, top1=top1_flag,
         )
 
 

@@ -247,6 +247,25 @@ def test_matcher_end_to_end(db_and_model, corpus, tmp_path):
     assert r["song_acc"] == 100.0
     assert r["exact_acc"] == 100.0
 
+    # --top1 serving mode (Database.query_top1_batch, [B]-sized D2H):
+    # identical TSV answers and _detail rows, no .bin score tables
+    sys.path.insert(0, REPO)
+    import matcher as matcher_mod
+
+    embedder, db, params = matcher_mod.load_model_and_db(db_dir)
+    result2 = str(tmp_path / "result_top1.txt")
+    matcher_mod.match_list(embedder, db, params, qlist, result2, top1=True)
+    assert open(result2).read() == open(result).read()
+    assert not os.path.exists(result2 + ".bin")
+    rows_full = list(csv.reader(open(detail)))[1:]
+    rows_top1 = list(
+        csv.reader(open(str(tmp_path / "result_top1_detail.csv")))
+    )[1:]
+    assert [r_[:2] for r_ in rows_top1] == [r_[:2] for r_ in rows_full]
+    for rf, rt in zip(rows_full, rows_top1):
+        assert float(rt[2]) == pytest.approx(float(rf[2]), rel=1e-4)
+        assert float(rt[3]) == pytest.approx(float(rf[3]), abs=1e-6)
+
 
 @pytest.mark.slow
 def test_matcher_pairs_mode(db_and_model, corpus, tmp_path):
